@@ -1,0 +1,20 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Mirrors SURVEY.md §4's plan: device paths are validated on simulated
+devices (`xla_force_host_platform_device_count=8`) so sharded/halo results
+can be asserted equal to single-device results without TPU hardware; the
+real-TPU run happens in bench.py.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+# persistent compile cache makes repeated test runs cheap
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ta_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")

@@ -1,0 +1,120 @@
+"""Conformance corpus: Hamming — ported from reference tests/basic_tests.rs
+(test_basic_hamming_* at lines 5-98) plus the doctest examples embedded in
+src/hamming.rs.  Every assertion value is taken verbatim from the reference.
+"""
+
+import numpy as np
+import pytest
+
+from triple_accel_tpu import Match, SearchType, alloc_str, fill_str
+from triple_accel_tpu.hamming import (
+    hamming,
+    hamming_batch,
+    hamming_search,
+    hamming_search_naive,
+    hamming_search_naive_with_opts,
+    hamming_search_simd,
+    hamming_search_simd_with_opts,
+    hamming_simd_movemask,
+    hamming_simd_parallel,
+)
+from triple_accel_tpu.oracle import (
+    hamming_naive,
+    hamming_words_64,
+    hamming_words_128,
+)
+
+DIST_IMPLS = [
+    hamming_naive,
+    hamming_words_64,
+    hamming_words_128,
+    hamming_simd_movemask,
+    hamming_simd_parallel,
+    hamming,
+]
+
+
+@pytest.mark.parametrize("impl", DIST_IMPLS)
+def test_basic_hamming(impl):
+    # basic_tests.rs:5-16, 74-98
+    assert impl(b"abc", b"abd") == 1
+    assert impl(b"", b"") == 0
+    assert (
+        impl(
+            b"abcaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+            b"abdaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        )
+        == 1
+    )
+
+
+def test_basic_hamming_words_alloc():
+    # basic_tests.rs:44-72 — via alloc_str/fill_str buffers
+    a = alloc_str(3)
+    fill_str(a, b"abc")
+    b = alloc_str(3)
+    fill_str(b, b"abd")
+    assert hamming_words_64(a, b) == 1
+    assert hamming_words_128(a, b) == 1
+
+
+@pytest.mark.parametrize("impl", DIST_IMPLS)
+def test_hamming_doctest(impl):
+    # doctests hamming.rs:29-35, 163-174, 237-247, 309-315, 347-352, 383-392
+    assert impl(b"abc", b"abd") == 1
+
+
+@pytest.mark.parametrize(
+    "search_with_opts,search_default",
+    [
+        (hamming_search_naive_with_opts, hamming_search_naive),
+        (hamming_search_simd_with_opts, hamming_search_simd),
+    ],
+)
+def test_basic_hamming_search(search_with_opts, search_default):
+    # basic_tests.rs:18-42
+    a1 = b"abc"
+    b1 = b"  abc  abb"
+    res = search_with_opts(a1, b1, 1, SearchType.All)
+    assert res == [Match(start=2, end=5, k=0), Match(start=7, end=10, k=1)]
+
+    res = search_default(a1, b1)
+    assert res == [Match(start=2, end=5, k=0)]
+
+    # SIMD variant with the long tail (basic_tests.rs:32-42)
+    b2 = b"  abc  abb aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+    res = search_with_opts(a1, b2, 1, SearchType.All)
+    assert res == [Match(start=2, end=5, k=0), Match(start=7, end=10, k=1)]
+    res = search_default(a1, b2)
+    assert res == [Match(start=2, end=5, k=0)]
+
+
+@pytest.mark.parametrize(
+    "search_with_opts",
+    [hamming_search_naive_with_opts, hamming_search_simd_with_opts],
+)
+def test_hamming_search_doctests(search_with_opts):
+    # doctests hamming.rs:62-68, 88-94, 414-420, 446-452, 581-587
+    assert search_with_opts(b"abc", b"  abd", 1, SearchType.All) == [
+        Match(start=2, end=5, k=1)
+    ]
+
+
+def test_hamming_search_needle_longer_than_haystack():
+    assert hamming_search_simd_with_opts(b"abcd", b"ab", 1, SearchType.All) == []
+    assert hamming_search_naive_with_opts(b"abcd", b"ab", 1, SearchType.All) == []
+
+
+def test_hamming_search_null_bytes_supported_on_device():
+    # TPU deviation (documented): the device path masks by length instead of
+    # zero-padding, so null bytes are allowed where the reference panics.
+    res = hamming_search_simd_with_opts(b"a\0c", b"xxa\0cxx", 0, SearchType.All)
+    assert res == [Match(start=2, end=5, k=0)]
+
+
+def test_hamming_batch():
+    a = np.array([[1, 2, 3, 0], [5, 5, 5, 5]], dtype=np.uint8)
+    b = np.array([[1, 9, 3, 0], [5, 5, 0, 0]], dtype=np.uint8)
+    lengths = np.array([4, 2])
+    assert hamming_batch(a, b, lengths).tolist() == [1, 0]
+    assert hamming_batch(a, b).tolist() == [1, 2]

@@ -1,0 +1,102 @@
+"""Trace-time dispatch: band sizing, cost-dtype bucketing, path forcing.
+
+The reference picks an implementation at *runtime* from (CPU feature,
+band size `unit_k`, threshold `max_k`) — levenshtein.rs:766-823, and its CI
+forces each arm via cargo features.  The TPU analog picks a (kernel path,
+cost dtype, padded-shape bucket) at *trace time* with the same numeric
+rules, and environment flags replace the cargo feature matrix:
+
+* ``TRIPLE_ACCEL_TPU_FORCE_PATH`` in {"oracle", "scan", "pallas"} forces a
+  backend (the analog of compiling with exactly one jewel-* feature).
+* ``TRIPLE_ACCEL_TPU_DEBUG_DISPATCH=1`` logs every dispatch decision (the
+  analog of the reference's `debug` feature println, levenshtein.rs:840-847).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass
+
+from .oracle.levenshtein import compute_max_k, compute_unit_k  # re-export
+from .types import EditCosts
+
+__all__ = [
+    "compute_max_k",
+    "compute_unit_k",
+    "dispatch_unit_k",
+    "select_cost_bucket",
+    "forced_path",
+    "debug_dispatch",
+    "round_up_pow2",
+    "DispatchDecision",
+]
+
+# Reserve the dtype max as the overflow/infinity sentinel, exactly like the
+# reference reserves u8::MAX etc. (levenshtein.rs:769: max_k <= u8::MAX - 1).
+_COST_BUCKETS = (
+    ("u8", (1 << 8) - 2),
+    ("u16", (1 << 16) - 2),
+    ("u32", (1 << 32) - 2),
+)
+
+
+def dispatch_unit_k(a_len: int, b_len: int, k: int, costs: EditCosts) -> int:
+    """Band half-width as computed by the SIMD dispatcher.
+
+    Unlike the scalar core's unit_k, the dispatcher additionally caps at
+    max_len (reference levenshtein.rs:760-763).
+    """
+    max_k = compute_max_k(a_len, b_len, k, costs)
+    return min(compute_unit_k(max_k, costs), max(a_len, b_len))
+
+
+def select_cost_bucket(max_k: int) -> str:
+    """Pick the narrowest cost dtype whose range (minus the INF sentinel)
+    holds max_k — the trace-time analog of the 8/16/32-bit jewel ladder
+    (reference levenshtein.rs:766-823)."""
+    for name, cap in _COST_BUCKETS:
+        if max_k <= cap:
+            return name
+    return "u32"
+
+
+def forced_path() -> str | None:
+    """Backend override from the environment ("oracle" | "scan" | "pallas")."""
+    v = os.environ.get("TRIPLE_ACCEL_TPU_FORCE_PATH", "").strip().lower()
+    return v if v in ("oracle", "scan", "pallas") else None
+
+
+def _debug_enabled() -> bool:
+    return os.environ.get("TRIPLE_ACCEL_TPU_DEBUG_DISPATCH", "") not in ("", "0")
+
+
+def debug_dispatch(msg: str) -> None:
+    """Dispatch-coverage logging (analog of the reference `debug` feature)."""
+    if _debug_enabled():
+        print(f"Debug: {msg}", file=sys.stderr)
+
+
+def round_up_pow2(n: int, minimum: int = 8) -> int:
+    """Round a length up to the next power of two to bound jit recompiles."""
+    v = max(n, minimum)
+    return 1 << (v - 1).bit_length()
+
+
+@dataclass(frozen=True)
+class DispatchDecision:
+    """A record of one dispatch decision, for logging and tests."""
+
+    path: str  # "oracle" | "scan" | "pallas"
+    cost_bucket: str  # "u8" | "u16" | "u32"
+    unit_k: int
+    max_k: int
+    padded_m: int
+    padded_n: int
+
+    def log(self, routine: str) -> None:
+        debug_dispatch(
+            f"{routine} path={self.path} cost={self.cost_bucket} "
+            f"unit_k={self.unit_k} max_k={self.max_k} "
+            f"padded=({self.padded_m},{self.padded_n})"
+        )

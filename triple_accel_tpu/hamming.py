@@ -1,0 +1,176 @@
+"""Public Hamming distance and Hamming search API.
+
+Mirrors the reference's `triple_accel::hamming` module (src/hamming.rs):
+the blessed functions `hamming` / `hamming_search` plus every named variant
+(`hamming_naive`, `hamming_words_64/128`, `hamming_simd_parallel`,
+`hamming_simd_movemask`, `hamming_search_naive[_with_opts]`,
+`hamming_search_simd[_with_opts]`), with identical result semantics.
+
+TPU-first deviations (documented per SURVEY.md §7):
+
+* the device path supports null bytes — padding is masked by length, not
+  zero-filled, so `check_no_null_bytes` is not required (reference
+  hamming.rs:463 bans them);
+* a batched-first API (`hamming_batch`) is the intended high-throughput
+  entry point: one dispatch covers a whole [B, L] batch of pairs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from . import dispatch
+from .dispatch import DispatchDecision, forced_path, round_up_pow2
+from .oracle.hamming import (
+    default_hamming_k,
+    hamming_naive,
+    hamming_search_naive,
+    hamming_search_naive_with_opts,
+    hamming_words_64,
+    hamming_words_128,
+)
+from .types import BytesLike, Match, SearchType, to_bytes_array
+
+__all__ = [
+    "hamming",
+    "hamming_naive",
+    "hamming_words_64",
+    "hamming_words_128",
+    "hamming_simd_parallel",
+    "hamming_simd_movemask",
+    "hamming_batch",
+    "hamming_search",
+    "hamming_search_naive",
+    "hamming_search_naive_with_opts",
+    "hamming_search_simd",
+    "hamming_search_simd_with_opts",
+    "default_hamming_k",
+]
+
+_MAX_SEG = 1 << 20  # haystack positions per device dispatch for searches
+
+
+def hamming_simd_parallel(a: BytesLike, b: BytesLike) -> int:
+    """Device-accelerated mismatch count (reference hamming.rs:317-330).
+
+    The name is kept for API parity; on TPU this is a single fused XLA
+    reduction rather than the reference's 255-block SIMD accumulate.
+    """
+    a = to_bytes_array(a)
+    b = to_bytes_array(b)
+    if len(a) != len(b):
+        raise ValueError("strings must have equal lengths for Hamming distance")
+    if forced_path() == "oracle" or len(a) == 0:
+        return hamming_naive(a, b)
+    return int(hamming_batch(a[None, :], b[None, :], np.array([len(a)]))[0])
+
+
+def hamming_simd_movemask(a: BytesLike, b: BytesLike) -> int:
+    """API-parity alias (reference hamming.rs:354-367).
+
+    The movemask-popcount trick is x86-specific; on TPU both variants lower
+    to the same fused reduction.
+    """
+    return hamming_simd_parallel(a, b)
+
+
+def hamming(a: BytesLike, b: BytesLike) -> int:
+    """Hamming distance via the best available path (reference hamming.rs:390)."""
+    return hamming_simd_parallel(a, b)
+
+
+def hamming_batch(
+    a: np.ndarray, b: np.ndarray, lengths: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Batched Hamming distance: one device dispatch for [B, L] pairs.
+
+    `lengths` masks each pair's valid prefix (defaults to the full width).
+    This is the TPU-native unit of work (SURVEY.md §7 design stance).
+    """
+    from .ops.hamming_ops import hamming_kernel
+
+    a = np.ascontiguousarray(a)
+    b = np.ascontiguousarray(b)
+    if a.shape != b.shape:
+        raise ValueError("a and b batches must have the same shape")
+    if lengths is None:
+        lengths = np.full(a.shape[0], a.shape[1], dtype=np.int32)
+    L = round_up_pow2(a.shape[1], 8)
+    pad = L - a.shape[1]
+    if pad:
+        a = np.pad(a, ((0, 0), (0, pad)))
+        b = np.pad(b, ((0, 0), (0, pad)))
+    DispatchDecision(
+        path="scan", cost_bucket="u32", unit_k=0, max_k=0,
+        padded_m=a.shape[0], padded_n=L,
+    ).log("hamming_batch")
+    out = hamming_kernel(
+        a.astype(np.int32), b.astype(np.int32), lengths.astype(np.int32)
+    )
+    return np.asarray(out)
+
+
+def _search_counts_device(needle: np.ndarray, haystack: np.ndarray) -> np.ndarray:
+    """Mismatch counts for every window position via the device kernel."""
+    from .ops.hamming_ops import hamming_search_counts
+
+    m = len(needle)
+    n = len(haystack)
+    P = round_up_pow2(n + 1, 16)
+    hay_pad = np.full(P, -1, dtype=np.int32)
+    hay_pad[:n] = haystack
+    counts = hamming_search_counts(
+        needle.astype(np.int32), hay_pad, np.int32(n), needle_len=m
+    )
+    return np.asarray(counts)[: n + 1 - m]
+
+
+def hamming_search_simd_with_opts(
+    needle: BytesLike,
+    haystack: BytesLike,
+    k: int,
+    search_type: SearchType = SearchType.Best,
+) -> List[Match]:
+    """Device-accelerated Hamming search (reference hamming.rs:454-475).
+
+    Device computes the mismatch count at every position in parallel; the
+    host applies the reference's streaming threshold semantics (Best:
+    curr_k shrinks per hit, final filter keeps k == final curr_k; no
+    overlap dedup — unlike Levenshtein search).
+    """
+    needle = to_bytes_array(needle)
+    haystack = to_bytes_array(haystack)
+    if len(needle) > len(haystack) or len(needle) == 0:
+        return []
+    if forced_path() == "oracle":
+        return hamming_search_naive_with_opts(needle, haystack, k, search_type)
+
+    counts = _search_counts_device(needle, haystack)
+    m = len(needle)
+    res: List[Match] = []
+    curr_k = k
+    hits = np.flatnonzero(counts <= min(k, m))
+    for i in hits:
+        c = int(counts[i])
+        if c <= curr_k:
+            if search_type == SearchType.Best:
+                curr_k = c
+            res.append(Match(start=int(i), end=int(i) + m, k=c))
+    if search_type == SearchType.Best:
+        return [mt for mt in res if mt.k == curr_k]
+    return res
+
+
+def hamming_search_simd(needle: BytesLike, haystack: BytesLike) -> List[Match]:
+    """Default device search: k = ceil(len/2), Best (reference hamming.rs:422-424)."""
+    needle = to_bytes_array(needle)
+    return hamming_search_simd_with_opts(
+        needle, haystack, default_hamming_k(len(needle)), SearchType.Best
+    )
+
+
+def hamming_search(needle: BytesLike, haystack: BytesLike) -> List[Match]:
+    """Blessed search entry point (reference hamming.rs:588-590)."""
+    return hamming_search_simd(needle, haystack)

@@ -1,0 +1,518 @@
+"""Public Levenshtein / restricted Damerau-Levenshtein API.
+
+Mirrors the reference's `triple_accel::levenshtein` module
+(src/levenshtein.rs): blessed functions `levenshtein`, `rdamerau`,
+`levenshtein_exp`, `rdamerau_exp`, `levenshtein_search`, the lower-level
+`levenshtein_simd_k[_with_opts]` / `levenshtein_search_simd[_with_opts]`
+(device-accelerated) and their `*_naive*` scalar twins, with identical
+result semantics: distances, None-above-threshold, RLE tracebacks, and
+Match{start, end, k} lists with the reference's Best/All/overlap rules.
+
+TPU-first structure: the "SIMD" names dispatch — at trace time, by
+(band bucket, cost dtype, padded shape) — to banded `lax.scan`/Pallas
+wavefronts (ops/band_scan.py, ops/search_scan.py); the exponential-search
+k-doubling loop stays on the host exactly like the reference's
+(levenshtein.rs:1445-1454).  A batched-first API (`levenshtein_k_batch`)
+is the high-throughput entry point: one device dispatch per [B] pair batch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .dispatch import (
+    DispatchDecision,
+    compute_max_k,
+    compute_unit_k,
+    forced_path,
+    round_up_pow2,
+    select_cost_bucket,
+)
+from .oracle.levenshtein import (
+    default_search_k,
+    levenshtein_naive,
+    levenshtein_naive_k,
+    levenshtein_naive_k_with_opts,
+    levenshtein_naive_with_opts,
+    levenshtein_search_naive,
+    levenshtein_search_naive_with_opts,
+)
+from .types import (
+    BytesLike,
+    Edit,
+    EditCosts,
+    LEVENSHTEIN_COSTS,
+    Match,
+    RDAMERAU_COSTS,
+    SearchType,
+    to_bytes_array,
+)
+
+__all__ = [
+    "levenshtein_naive",
+    "levenshtein_naive_with_opts",
+    "levenshtein_naive_k",
+    "levenshtein_naive_k_with_opts",
+    "levenstein_naive_str",
+    "levenshtein_simd_k_str",
+    "levenshtein_simd_k",
+    "levenshtein_simd_k_with_opts",
+    "levenshtein",
+    "rdamerau",
+    "levenshtein_exp",
+    "levenshtein_exp_with_opts",
+    "rdamerau_exp",
+    "levenshtein_k_batch",
+    "levenshtein_search_naive",
+    "levenshtein_search_naive_with_opts",
+    "levenshtein_search_simd",
+    "levenshtein_search_simd_with_opts",
+    "levenshtein_search",
+    "translate_str",
+    "LEVENSHTEIN_COSTS",
+    "RDAMERAU_COSTS",
+    "default_search_k",
+]
+
+U32_MAX = (1 << 32) - 1
+
+
+# ---------------------------------------------------------------------------
+# Unicode helpers (reference levenshtein.rs:609-651, 123-127)
+# ---------------------------------------------------------------------------
+
+def translate_str(chars: List[str], s: str) -> Optional[np.ndarray]:
+    """Map a unicode string onto a <=256-symbol u8 alphabet shared through
+    `chars` (reference levenshtein.rs:609-624).  Returns None if the
+    combined alphabet exceeds 256 symbols."""
+    out = np.empty(len(s), dtype=np.uint8)
+    lookup = {c: i for i, c in enumerate(chars)}
+    for i, c in enumerate(s):
+        idx = lookup.get(c)
+        if idx is None:
+            idx = len(chars)
+            if idx >= 256:
+                return None
+            chars.append(c)
+            lookup[c] = idx
+        out[i] = idx
+    return out
+
+
+def levenstein_naive_str(a: str, b: str) -> int:
+    """Unicode scalar distance (sic — typo preserved from the reference,
+    levenshtein.rs:123-127)."""
+    chars: List[str] = []
+    a_t = translate_str(chars, a)
+    b_t = translate_str(chars, b)
+    if a_t is None or b_t is None:
+        # fall back to generic python-object DP via index mapping failure:
+        # the reference's levenshtein_naive is generic over T: PartialEq.
+        raise ValueError("strings use more than 256 distinct characters")
+    return levenshtein_naive(a_t, b_t)
+
+
+def levenshtein_simd_k_str(a: str, b: str, k: int) -> Optional[int]:
+    """Unicode banded distance (reference levenshtein.rs:641-651)."""
+    if a.isascii() and b.isascii():
+        return levenshtein_simd_k(a.encode(), b.encode(), k)
+    chars: List[str] = []
+    a_t = translate_str(chars, a)
+    if a_t is None:
+        return None
+    b_t = translate_str(chars, b)
+    if b_t is None:
+        return None
+    return levenshtein_simd_k(a_t, b_t, k)
+
+
+# ---------------------------------------------------------------------------
+# Distance dispatcher
+# ---------------------------------------------------------------------------
+
+def _costs_tuple(costs: EditCosts) -> Tuple[int, int, int, int, bool]:
+    return (
+        costs.mismatch_cost,
+        costs.gap_cost,
+        costs.start_gap_cost,
+        costs.transpose_cost_or_zero,
+        costs.allow_transpose,
+    )
+
+
+def levenshtein_simd_k_with_opts(
+    a: BytesLike,
+    b: BytesLike,
+    k: int,
+    trace_on: bool = False,
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+) -> Optional[Tuple[int, Optional[List[Edit]]]]:
+    """Banded distance with options, device accelerated
+    (reference levenshtein.rs:714-827).
+
+    Returns None when the distance exceeds the (capped) threshold; with
+    `trace_on`, additionally returns the RLE edit traceback.  The name is
+    kept for API parity — on TPU "SIMD" means the batched banded wavefront
+    scan / Pallas kernel selected by trace-time dispatch.
+    """
+    from .ops.band_scan import (
+        band_scan_distance,
+        decode_traceback,
+        prepare_band_inputs,
+    )
+
+    a = to_bytes_array(a)
+    b = to_bytes_array(b)
+    if len(a) == 0 and len(b) == 0:
+        return (0, [] if trace_on else None)
+
+    if forced_path() == "oracle":
+        return levenshtein_naive_k_with_opts(a, b, k, trace_on, costs)
+
+    max_k = compute_max_k(len(a), len(b), k, costs)
+    unit_k = min(compute_unit_k(max_k, costs), max(len(a), len(b)))
+
+    swap = len(a) > len(b)
+    a_new, b_new = (b, a) if swap else (a, b)
+    m, n = len(a_new), len(b_new)
+    if n - m > unit_k:
+        return None
+
+    uk_dev = round_up_pow2(unit_k, 4)
+    max_m = round_up_pow2(m, 8)
+    DispatchDecision(
+        path="scan",
+        cost_bucket=select_cost_bucket(max_k),
+        unit_k=uk_dev,
+        max_k=max_k,
+        padded_m=max_m,
+        padded_n=n,
+    ).log("levenshtein_simd_k_with_opts")
+
+    a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(
+        [a_new], [b_new], uk_dev, max_m
+    )
+    dist, codes = band_scan_distance(
+        a_pad,
+        b_pad,
+        m_arr,
+        n_arr,
+        unit_k=uk_dev,
+        max_m=max_m,
+        costs_t=_costs_tuple(costs),
+        trace_on=trace_on,
+    )
+    d = int(np.asarray(dist)[0])
+    if d > max_k:
+        return None
+    if not trace_on:
+        return (d, None)
+    codes_np = np.asarray(codes)[:, 0, :]
+    return (d, decode_traceback(codes_np, a_new, b_new, uk_dev, swap))
+
+
+def levenshtein_simd_k(a: BytesLike, b: BytesLike, k: int) -> Optional[int]:
+    """Banded distance (reference levenshtein.rs:677-684)."""
+    res = levenshtein_simd_k_with_opts(a, b, k, False, LEVENSHTEIN_COSTS)
+    return None if res is None else res[0]
+
+
+def levenshtein(a: BytesLike, b: BytesLike) -> int:
+    """Exact Levenshtein distance (reference levenshtein.rs:1397-1399)."""
+    res = levenshtein_simd_k(a, b, U32_MAX)
+    assert res is not None
+    return res
+
+
+def rdamerau(a: BytesLike, b: BytesLike) -> int:
+    """Exact restricted Damerau-Levenshtein distance
+    (reference levenshtein.rs:1419-1423)."""
+    res = levenshtein_simd_k_with_opts(a, b, U32_MAX, False, RDAMERAU_COSTS)
+    assert res is not None
+    return res[0]
+
+
+def levenshtein_exp(a: BytesLike, b: BytesLike) -> int:
+    """Distance via exponential threshold search — much faster when the
+    edit count is small (reference levenshtein.rs:1445-1454)."""
+    k = 30
+    while True:
+        res = levenshtein_simd_k(a, b, k)
+        if res is not None:
+            return res
+        k *= 2
+
+
+def levenshtein_exp_with_opts(
+    a: BytesLike,
+    b: BytesLike,
+    trace_on: bool = False,
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+) -> Tuple[int, Optional[List[Edit]]]:
+    """Exponential-search distance with options (reference levenshtein.rs:
+    1480-1494)."""
+    k = 30
+    while True:
+        res = levenshtein_simd_k_with_opts(a, b, k, trace_on, costs)
+        if res is not None:
+            return res
+        k *= 2
+
+
+def rdamerau_exp(a: BytesLike, b: BytesLike) -> int:
+    """Exponential-search rdamerau distance (reference levenshtein.rs:
+    1516-1526)."""
+    k = 30
+    while True:
+        res = levenshtein_simd_k_with_opts(a, b, k, False, RDAMERAU_COSTS)
+        if res is not None:
+            return res[0]
+        k *= 2
+
+
+def levenshtein_k_batch(
+    a_batch: Sequence[BytesLike],
+    b_batch: Sequence[BytesLike],
+    k: int,
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+) -> np.ndarray:
+    """Batched banded distance: the TPU-native unit of work.
+
+    Computes the reference's `levenshtein_simd_k(a, b, k)` for every pair in
+    one device dispatch.  Returns int64 distances with -1 where the pair's
+    distance exceeds its (per-pair capped) threshold — the batched analog of
+    the reference returning None.
+    """
+    from .ops.band_scan import band_scan_distance, prepare_band_inputs
+
+    a_list = [to_bytes_array(x) for x in a_batch]
+    b_list = [to_bytes_array(x) for x in b_batch]
+    if len(a_list) != len(b_list):
+        raise ValueError("batch lengths differ")
+    B = len(a_list)
+    if B == 0:
+        return np.empty(0, dtype=np.int64)
+
+    swapped_a: List[np.ndarray] = []
+    swapped_b: List[np.ndarray] = []
+    max_ks = np.zeros(B, dtype=np.int64)
+    feasible = np.ones(B, dtype=bool)
+    unit_k = 0
+    for p in range(B):
+        a, b = a_list[p], b_list[p]
+        if len(a) > len(b):
+            a, b = b, a
+        swapped_a.append(a)
+        swapped_b.append(b)
+        mk = compute_max_k(len(a), len(b), k, costs)
+        uk = min(compute_unit_k(mk, costs), len(b))
+        max_ks[p] = mk
+        if len(b) - len(a) > uk:
+            feasible[p] = False
+        unit_k = max(unit_k, uk)
+
+    uk_dev = round_up_pow2(unit_k, 4)
+    max_m = round_up_pow2(max((len(a) for a in swapped_a), default=1), 8)
+    DispatchDecision(
+        path="scan",
+        cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
+        unit_k=uk_dev,
+        max_k=int(max_ks.max(initial=0)),
+        padded_m=max_m,
+        padded_n=B,
+    ).log("levenshtein_k_batch")
+
+    a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(
+        swapped_a, swapped_b, uk_dev, max_m
+    )
+    dist, _ = band_scan_distance(
+        a_pad,
+        b_pad,
+        m_arr,
+        n_arr,
+        unit_k=uk_dev,
+        max_m=max_m,
+        costs_t=_costs_tuple(costs),
+        trace_on=False,
+    )
+    out = np.asarray(dist).astype(np.int64)
+    # handle both-empty pairs (the scan reports 0 there already) and
+    # threshold misses
+    out = np.where(feasible & (out <= max_ks), out, -1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Search dispatcher
+# ---------------------------------------------------------------------------
+
+def postprocess_matches(
+    dists: np.ndarray,
+    lengths: np.ndarray,
+    k: int,
+    search_type: SearchType,
+) -> List[Match]:
+    """Turn per-end-position (distance, length) arrays into Match lists with
+    the reference's streaming semantics (levenshtein.rs:1792-1835).
+
+    `dists[i]` / `lengths[i]` describe the candidate ending after i haystack
+    characters (i = 0 is the empty-prefix candidate).  Best mode: curr_k
+    shrinks as candidates stream, a candidate replaces the previous one if
+    it fully overlaps it (start <= previous start), and only k == final
+    curr_k entries survive.  This two-pass form is behaviorally identical
+    to the reference's lazy iterator (see SURVEY.md §7 hard parts).
+    """
+    res: List[Match] = []
+    curr_k = k
+    hits = np.flatnonzero(dists <= k)
+    if search_type == SearchType.All:
+        return [
+            Match(start=int(i - lengths[i]), end=int(i), k=int(dists[i]))
+            for i in hits
+        ]
+    for i in hits:
+        d = int(dists[i])
+        if d <= curr_k:
+            curr_k = d
+            m = Match(start=int(i - lengths[i]), end=int(i), k=d)
+            if res and m.start <= res[-1].start:
+                res[-1] = m
+            else:
+                res.append(m)
+    return [m for m in res if m.k == curr_k]
+
+
+def _empty_needle_matches(
+    haystack_len: int, k: int, search_type: SearchType, costs: EditCosts,
+    anchored: bool,
+) -> List[Match]:
+    """Empty-needle special cases (reference levenshtein.rs:1600-1644,
+    1919-1963)."""
+    if not anchored:
+        return []
+    if search_type == SearchType.Best:
+        return [Match(start=0, end=0, k=0)]
+    res = [Match(start=0, end=0, k=0)]
+    cost = costs.start_gap_cost
+    for i in range(1, haystack_len + 1):
+        cost += costs.gap_cost
+        if cost > k:
+            break
+        res.append(Match(start=0, end=i, k=cost))
+    return res
+
+
+def levenshtein_search_simd_with_opts(
+    needle: BytesLike,
+    haystack: BytesLike,
+    k: int,
+    search_type: SearchType = SearchType.Best,
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+    anchored: bool = False,
+) -> List[Match]:
+    """Device-accelerated approximate search (reference levenshtein.rs:
+    1911-2155).
+
+    The device wavefront computes (distance, max-length) for every end
+    position; the host applies threshold / Best / overlap-dedup streaming
+    semantics.  Long haystacks are processed as parallel overlapping chunks
+    (halo = max window span - 1), which is exact for every candidate with
+    cost <= k — see ops/search_scan.py.
+    """
+    from .ops.search_scan import chunk_haystack, search_scan, window_span
+
+    needle = to_bytes_array(needle)
+    haystack = to_bytes_array(haystack)
+    m, n = len(needle), len(haystack)
+
+    if m == 0:
+        return _empty_needle_matches(n, k, search_type, costs, anchored)
+
+    costs.check_search()
+
+    if forced_path() == "oracle":
+        return levenshtein_search_naive_with_opts(
+            needle, haystack, k, search_type, costs, anchored
+        )
+
+    if anchored:
+        iter_len = min(
+            m + max(0, k - costs.start_gap_cost) // costs.gap_cost, n
+        )
+    else:
+        iter_len = n
+
+    halo = 0 if anchored else min(window_span(m, k, costs.gap_cost,
+                                               costs.start_gap_cost), n)
+    effective_n = iter_len
+    if effective_n <= 4096 or anchored:
+        own_len = round_up_pow2(max(effective_n, 1), 16)
+    else:
+        own_len = 4096
+
+    seg_pad, seg_n, seg_off, own_start, seg_len = chunk_haystack(
+        haystack[:iter_len], m, halo, own_len
+    )
+    DispatchDecision(
+        path="scan",
+        cost_bucket=select_cost_bucket(k if k < U32_MAX else U32_MAX),
+        unit_k=halo,
+        max_k=k,
+        padded_m=m,
+        padded_n=seg_len,
+    ).log("levenshtein_search_simd_with_opts")
+
+    dist_seg, len_seg = search_scan(
+        needle.astype(np.int32),
+        seg_pad,
+        seg_n,
+        seg_off,
+        needle_len=m,
+        seg_len=seg_len,
+        costs_t=_costs_tuple(costs),
+        anchored=anchored,
+    )
+    dist_seg = np.asarray(dist_seg)
+    len_seg = np.asarray(len_seg)
+
+    # stitch owned ranges into global per-end-position arrays
+    dists = np.full(iter_len + 1, np.int64(1) << 40, dtype=np.int64)
+    lengths = np.zeros(iter_len + 1, dtype=np.int64)
+    C = dist_seg.shape[0]
+    for c in range(C):
+        o = int(own_start[c])
+        s0 = int(seg_off[c])
+        lo_local = o - s0  # first owned end position, local
+        hi_local = min(int(seg_n[c]), lo_local + own_len)
+        if c == 0:
+            # chunk 0 also owns global end position 0 (the empty prefix)
+            dists[0] = dist_seg[0, 0]
+            lengths[0] = len_seg[0, 0]
+        g0 = s0 + lo_local + 1
+        g1 = min(s0 + hi_local, iter_len)
+        if g1 >= g0:
+            dists[g0 : g1 + 1] = dist_seg[c, lo_local + 1 : lo_local + 1 + (g1 - g0 + 1)]
+            lengths[g0 : g1 + 1] = len_seg[c, lo_local + 1 : lo_local + 1 + (g1 - g0 + 1)]
+
+    return postprocess_matches(dists, lengths, k, search_type)
+
+
+def levenshtein_search_simd(needle: BytesLike, haystack: BytesLike) -> List[Match]:
+    """Default device search: k = ceil(len/2), Best, unit costs, unanchored
+    (reference levenshtein.rs:1866-1878)."""
+    needle = to_bytes_array(needle)
+    return levenshtein_search_simd_with_opts(
+        needle,
+        haystack,
+        default_search_k(len(needle)),
+        SearchType.Best,
+        LEVENSHTEIN_COSTS,
+        False,
+    )
+
+
+def levenshtein_search(needle: BytesLike, haystack: BytesLike) -> List[Match]:
+    """Blessed search entry point (reference levenshtein.rs:2508-2510)."""
+    return levenshtein_search_simd(needle, haystack)

@@ -1,0 +1,12 @@
+"""Device compute cores: `lax.scan` reference paths and Pallas fast paths.
+
+This layer is the TPU-native equivalent of the reference's L2 algorithm
+cores + L1 Jewel SIMD vocabulary (SURVEY.md §1): banded wavefront DP kept
+on-chip, dispatched at trace time by (band width, cost dtype) buckets.
+"""
+
+from . import band_scan
+from . import hamming_ops
+from . import search_scan
+
+__all__ = ["band_scan", "hamming_ops", "search_scan"]

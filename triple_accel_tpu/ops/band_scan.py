@@ -1,0 +1,257 @@
+"""Banded Levenshtein distance as a batched `lax.scan` over DP rows.
+
+TPU-first re-design of the reference's anti-diagonal SIMD wavefront
+(`create_levenshtein_simd_core!`, reference src/levenshtein.rs:829-1283).
+The reference iterates anti-diagonals because x86 SIMD has no cheap
+prefix-scan; on TPU we instead scan *rows* of the shorter string and
+resolve the within-row (horizontal, affine) gap chain with a single
+`lax.cummin` — the classic min-plus prefix trick:
+
+    E[c] = start_gap + c*gap + min_{c'<c} (D'[c'] - c'*gap)
+
+which is exact for affine gaps because opening a gap out of a cell whose
+value itself came from a horizontal gap is always dominated by extending.
+
+Coordinates: DP cell (i, j) over a (rows, len m) x b (cols, len n), m <= n.
+The band keeps |j - i| <= unit_k; band lane c in [0, W), W = 2*unit_k + 1,
+holds j = i + c - unit_k.  In these coordinates:
+
+    substitution  (i-1, j-1) -> same lane c of the previous row
+    vertical gap  (i-1, j  ) -> lane c+1 of the previous row (consume a)
+    horizontal    (i,   j-1) -> lane c-1 of the same row     (consume b)
+    transpose     (i-2, j-2) -> same lane c two rows back
+
+so everything except the horizontal chain is a lane shift of carried state,
+and the whole batch of pairs is vectorized across the leading axis.
+
+Numeric contract (must match the scalar oracle / reference exactly):
+tie priority sub > horizontal(AGap) > vertical(BGap), transpose wins on <=
+(reference levenshtein.rs:469-532); traceback codes {0: sub, 1: consume-b,
+2: consume-a, 3: transpose}.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..types import Edit, EditCosts, EditType
+
+__all__ = [
+    "INF",
+    "band_scan_distance",
+    "prepare_band_inputs",
+    "decode_traceback",
+]
+
+INF = np.int32(1 << 30)  # +infinity sentinel; all real costs stay far below
+
+
+def _shift_left(x: jnp.ndarray) -> jnp.ndarray:
+    """x[c] <- x[c+1], INF shifted into the last lane."""
+    return jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], INF)], axis=1)
+
+
+def _shift_right(x: jnp.ndarray) -> jnp.ndarray:
+    """x[c] <- x[c-1], INF shifted into the first lane."""
+    return jnp.concatenate([jnp.full_like(x[:, :1], INF), x[:, :-1]], axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("unit_k", "max_m", "costs_t", "trace_on"),
+)
+def band_scan_distance(
+    a_pad: jnp.ndarray,  # [B, max_m] int32, sentinel -1 past each pair's m
+    b_pad: jnp.ndarray,  # [B, max_m + W] int32, b at offset unit_k, sentinel -1
+    m: jnp.ndarray,  # [B] int32, per-pair len(a) (m <= n required)
+    n: jnp.ndarray,  # [B] int32, per-pair len(b)
+    *,
+    unit_k: int,
+    max_m: int,
+    costs_t: Tuple[int, int, int, int, bool],
+    trace_on: bool,
+):
+    """Batched banded edit distance.
+
+    Returns (dist [B] int32, codes [max_m, B, W] uint8 or None).
+    dist is INF-flavored (>= INF) when the pair's final cell was never
+    reached (caller turns values > max_k into None).
+    """
+    mc, gc, sgc, tc, allow_transpose = costs_t
+    W = 2 * unit_k + 1
+    B = a_pad.shape[0]
+    c_arr = jnp.arange(W, dtype=jnp.int32)
+
+    n_col = n[:, None]
+    m_col = m[:, None]
+
+    # row 0: D[0][j] = j*gap + (j>0)*start_gap for valid j, else INF
+    j0 = c_arr[None, :] - unit_k
+    dp1_init = jnp.where(
+        (j0 >= 0) & (j0 <= n_col),
+        j0 * gc + jnp.where(j0 > 0, sgc, 0),
+        INF,
+    ).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
+
+    # final cell of pair p lives at lane c_fin = n - m + unit_k
+    c_fin = jnp.clip(n - m + unit_k, 0, W - 1)
+
+    # pairs with m == 0 finish at row 0
+    d0 = jnp.take_along_axis(dp1_init, c_fin[:, None], axis=1)[:, 0]
+    result0 = jnp.where(m == 0, d0, INF)
+
+    dp0_init = jnp.full((B, W), INF, jnp.int32)
+    bgap_init = jnp.full((B, W), INF, jnp.int32)
+
+    def body(carry, i):
+        dp0, dp1, bgap, result = carry
+
+        a_char = lax.dynamic_slice_in_dim(a_pad, i - 1, 1, axis=1)  # [B,1]
+        bwin = lax.dynamic_slice_in_dim(b_pad, i - 1, W, axis=1)  # b[j-1]
+
+        j = i + c_arr[None, :] - unit_k  # [1,W] broadcast
+        valid = (j >= 0) & (j <= n_col)
+
+        # substitution from (i-1, j-1): same lane of previous row
+        sub = dp1 + jnp.where(a_char == bwin, 0, mc)
+
+        # vertical gap (consume a) from lane c+1 of previous row
+        bgap2 = jnp.minimum(
+            _shift_left(dp1) + (sgc + gc), _shift_left(bgap) + gc
+        )
+
+        dprime = jnp.minimum(sub, bgap2)
+
+        if allow_transpose:
+            # b[j-2] / a[i-2] windows; offsets clamp at 0, gated by i > 1
+            bwin2 = lax.dynamic_slice_in_dim(
+                b_pad, jnp.maximum(i - 2, 0), W, axis=1
+            )
+            a_prev = lax.dynamic_slice_in_dim(
+                a_pad, jnp.maximum(i - 2, 0), 1, axis=1
+            )
+            tcond = (
+                (i > 1)
+                & (j > 1)
+                & (a_char == bwin2)
+                & (a_prev == bwin)
+            )
+            trans = jnp.where(tcond, dp0 + tc, INF)
+            dprime = jnp.minimum(dprime, trans)
+
+        dprime = jnp.where(valid, jnp.minimum(dprime, INF), INF)
+
+        # horizontal (consume b) affine chain: exclusive prefix min
+        g = dprime - c_arr[None, :] * gc
+        mins = _shift_right(lax.cummin(g, axis=1))
+        e = jnp.minimum(sgc + c_arr[None, :] * gc + mins, INF)
+
+        # selection cascade — must mirror the scalar banded core's order
+        # (reference levenshtein.rs:493-532): sub default, horizontal on <,
+        # vertical on <, transpose on <=.
+        dp2 = sub
+        code = jnp.zeros((B, W), jnp.uint8)
+        take_e = e < dp2
+        dp2 = jnp.where(take_e, e, dp2)
+        code = jnp.where(take_e, jnp.uint8(1), code)
+        take_b = bgap2 < dp2
+        dp2 = jnp.where(take_b, bgap2, dp2)
+        code = jnp.where(take_b, jnp.uint8(2), code)
+        if allow_transpose:
+            take_t = tcond & (trans <= dp2)
+            dp2 = jnp.where(take_t, trans, dp2)
+            code = jnp.where(take_t, jnp.uint8(3), code)
+
+        dp2 = jnp.where(valid, jnp.minimum(dp2, INF), INF)
+
+        d_at = jnp.take_along_axis(dp2, c_fin[:, None], axis=1)[:, 0]
+        result = jnp.where(i == m_col[:, 0], d_at, result)
+
+        new_carry = (dp1, dp2, bgap2, result)
+        return new_carry, (code if trace_on else None)
+
+    rows = jnp.arange(1, max_m + 1, dtype=jnp.int32)
+    (_, _, _, result), codes = lax.scan(
+        body, (dp0_init, dp1_init, bgap_init, result0), rows
+    )
+    return result, codes
+
+
+def prepare_band_inputs(
+    a_list: List[np.ndarray],
+    b_list: List[np.ndarray],
+    unit_k: int,
+    max_m: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pad a batch of (a, b) byte arrays (each with len(a) <= len(b)) into the
+    fixed-shape int32 buffers band_scan_distance expects."""
+    W = 2 * unit_k + 1
+    B = len(a_list)
+    a_pad = np.full((B, max_m), -1, dtype=np.int32)
+    b_pad = np.full((B, max_m + W), -1, dtype=np.int32)
+    m = np.zeros(B, dtype=np.int32)
+    n = np.zeros(B, dtype=np.int32)
+    for p, (a, b) in enumerate(zip(a_list, b_list)):
+        m[p] = len(a)
+        n[p] = len(b)
+        a_pad[p, : len(a)] = a
+        b_pad[p, unit_k : unit_k + len(b)] = b
+    return a_pad, b_pad, m, n
+
+
+def decode_traceback(
+    codes: np.ndarray,  # [max_m, W] uint8 for ONE pair
+    a: np.ndarray,
+    b: np.ndarray,
+    unit_k: int,
+    swap: bool,
+) -> List[Edit]:
+    """Walk the banded traceback codes back from (m, n), RLE-encoding edits.
+
+    Mirrors the scalar banded walk (reference levenshtein.rs:558-606):
+    code 0 steps diagonally (Match/Mismatch), 1 consumes b (AGap unswapped),
+    2 consumes a (BGap unswapped), 3 steps a transpose.  Rows at i == 0 are
+    implicit consume-b steps (the init row, reference levenshtein.rs:450-456).
+    """
+    res: List[Edit] = []
+    i, j = len(a), len(b)
+
+    def push(e: EditType) -> None:
+        if res and res[-1].edit == e:
+            res[-1] = Edit(edit=e, count=res[-1].count + 1)
+        else:
+            res.append(Edit(edit=e, count=1))
+
+    a_gap = EditType.BGap if swap else EditType.AGap  # consumes b
+    b_gap = EditType.AGap if swap else EditType.BGap  # consumes a
+
+    while i > 0 or j > 0:
+        if i == 0:
+            j -= 1
+            push(a_gap)
+            continue
+        c = j - i + unit_k
+        code = int(codes[i - 1, c])
+        if code == 0:
+            i -= 1
+            j -= 1
+            push(EditType.Match if a[i] == b[j] else EditType.Mismatch)
+        elif code == 1:
+            j -= 1
+            push(a_gap)
+        elif code == 2:
+            i -= 1
+            push(b_gap)
+        else:
+            i -= 2
+            j -= 2
+            push(EditType.Transpose)
+
+    res.reverse()
+    return res

@@ -1,0 +1,69 @@
+"""Device (XLA) kernels for Hamming distance and Hamming search.
+
+TPU-first replacements for the reference's HammingJewel vector routines:
+
+* `count_mismatches` (reference src/jewel.rs:2320-2365, the 255-block
+  cmpeq/sub accumulate) becomes a single fused XLA reduction
+  `sum(a != b)` — no accumulator-overflow choreography is needed because
+  the VPU reduces in int32 natively.
+* `vector_count_mismatches` sliding search (reference src/jewel.rs:
+  2369-2408 + hamming.rs:477-554) becomes a shift-and-accumulate over the
+  needle: for each of the m needle offsets, one vectorized compare of the
+  whole haystack against a broadcast needle byte.  All positions are
+  computed in parallel lanes — the reference's scalar tail loop
+  (hamming.rs:516-536) disappears because padding is masked, not zero
+  filled (hence no null-byte restriction on the TPU path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["hamming_kernel", "hamming_search_counts"]
+
+
+@partial(jax.jit, static_argnames=())
+def hamming_kernel(a: jnp.ndarray, b: jnp.ndarray, length: jnp.ndarray):
+    """Batched mismatch count.
+
+    a, b: [B, L] int32 (sentinel-padded identically is NOT required — only
+    the first `length` positions count).  Returns [B] int32.
+    """
+    idx = jnp.arange(a.shape[1], dtype=jnp.int32)[None, :]
+    mism = (a != b) & (idx < length[:, None])
+    return jnp.sum(mism, axis=1, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("needle_len",))
+def hamming_search_counts(
+    needle: jnp.ndarray,  # [needle_len] int32
+    haystack: jnp.ndarray,  # [P] int32, sentinel -1 padded past n
+    n: jnp.ndarray,  # scalar int32: true haystack length
+    *,
+    needle_len: int,
+):
+    """Mismatch counts at every window position.
+
+    Returns counts [P] int32 where counts[i] = hamming(needle,
+    haystack[i:i+needle_len]) for i <= n - needle_len, and a large value
+    (needle_len + 1 flavored) past the last valid position so thresholding
+    never emits them.
+    """
+    P = haystack.shape[0]
+    m = needle_len
+    # pad so every shifted slice is static width P
+    hay_ext = jnp.concatenate(
+        [haystack, jnp.full((m,), -1, jnp.int32)]
+    )
+
+    def body(j, acc):
+        shifted = lax.dynamic_slice_in_dim(hay_ext, j, P)
+        return acc + jnp.where(shifted != needle[j], 1, 0).astype(jnp.int32)
+
+    counts = lax.fori_loop(0, m, body, jnp.zeros((P,), jnp.int32))
+    idx = jnp.arange(P, dtype=jnp.int32)
+    return jnp.where(idx <= n - m, counts, jnp.int32(m + 1 + (1 << 20)))

@@ -1,0 +1,7 @@
+"""Multi-device / multi-host scaling: mesh data parallelism for pair
+batches, sequence-parallel sharded haystack search with halo exchange.
+
+The reference is single-threaded, single-process (SURVEY.md §2.5): these
+components are new, first-class in the TPU framework, built on
+`jax.sharding` meshes + XLA collectives (no custom comm backend needed).
+"""

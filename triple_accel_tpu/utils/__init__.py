@@ -1,0 +1,1 @@
+"""Shared helpers (string translation, padding, bucketing)."""
