@@ -1,0 +1,107 @@
+"""Headline benchmark: banded Levenshtein distance throughput on one chip.
+
+Workload follows BASELINE.md: 1000-byte string pairs, k = 32 (the banded
+wavefront), batch-sized for the TPU.  Prints ONE JSON line:
+
+    {"metric": ..., "value": pairs/s, "unit": ..., "vs_baseline": ...}
+
+vs_baseline is the speedup over the scalar-CPU oracle (the analog of the
+reference's `levenshtein_naive_k_with_opts` scalar core) measured on this
+host — the reference's own published claim for its SIMD layer is
+"up to 20-30x" over the same scalar baseline (README.md:10).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ta_tpu_jax_cache")
+    import jax
+
+    from triple_accel_tpu.oracle.levenshtein import levenshtein_naive_k_with_opts
+    from triple_accel_tpu.ops.band_scan import (
+        band_scan_distance,
+        prepare_band_inputs,
+    )
+
+    STR_LEN = 1000
+    K = 32
+    UNIT_K = 32  # band for k=32, unit costs
+    MAX_M = 1024
+    B = int(os.environ.get("BENCH_BATCH", "2048"))
+    COSTS_T = (1, 1, 0, 0, False)
+
+    rng = np.random.default_rng(1234)
+
+    def mutate(a, k):
+        b = a.copy()
+        idx = rng.permutation(len(a))[: rng.integers(k // 2, k + 1)]
+        b[idx] = 32
+        return b
+
+    a_list = [rng.integers(33, 127, STR_LEN).astype(np.uint8) for _ in range(B)]
+    b_list = [mutate(a, K // 2) for a in a_list]
+
+    a_pad, b_pad, m, n = prepare_band_inputs(a_list, b_list, UNIT_K, MAX_M)
+    a_pad, b_pad, m, n = map(jax.device_put, (a_pad, b_pad, m, n))
+
+    def run():
+        d, _ = band_scan_distance(
+            a_pad, b_pad, m, n,
+            unit_k=UNIT_K, max_m=MAX_M, costs_t=COSTS_T, trace_on=False,
+        )
+        return d
+
+    # warmup/compile
+    d = run()
+    np.asarray(d)
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        d = run()
+        np.asarray(d)  # force the full device round trip every rep
+    dt = time.perf_counter() - t0
+    tpu_pairs_per_sec = B * reps / dt
+
+    # correctness spot check + scalar CPU baseline on a few pairs
+    cpu_n = 3
+    t0 = time.perf_counter()
+    refs = [
+        levenshtein_naive_k_with_opts(a_list[i], b_list[i], K)
+        for i in range(cpu_n)
+    ]
+    cpu_dt = time.perf_counter() - t0
+    cpu_pairs_per_sec = cpu_n / cpu_dt
+
+    dist_host = np.asarray(d)[:cpu_n]
+    for i in range(cpu_n):
+        ref = -1 if refs[i] is None else refs[i][0]
+        got = int(dist_host[i]) if dist_host[i] <= K else -1
+        assert got == ref, f"bench mismatch pair {i}: {got} != {ref}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "levenshtein_banded_k32_len1000_pairs_per_sec_per_chip",
+                "value": round(tpu_pairs_per_sec, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(tpu_pairs_per_sec / cpu_pairs_per_sec, 1),
+            }
+        )
+    )
+    print(
+        f"# device={jax.devices()[0]} batch={B} reps={reps} "
+        f"tpu={tpu_pairs_per_sec:.0f} pairs/s "
+        f"cpu_scalar={cpu_pairs_per_sec:.2f} pairs/s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,7 @@ real-TPU run happens in bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,3 +18,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # persistent compile cache makes repeated test runs cheap
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ta_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+# jax may already be imported by a pytest plugin, in which case it latched
+# the environment's JAX_PLATFORMS (the TPU tunnel) at import time — override
+# through the config API so the test session really runs on 8 CPU devices.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,108 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+shard+halo results must equal single-device / oracle results exactly.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from triple_accel_tpu import LEVENSHTEIN_COSTS, RDAMERAU_COSTS, SearchType
+from triple_accel_tpu.levenshtein import postprocess_matches
+from triple_accel_tpu.oracle import (
+    levenshtein_naive_k_with_opts,
+    levenshtein_search_naive_with_opts,
+)
+from triple_accel_tpu.ops.band_scan import prepare_band_inputs
+from triple_accel_tpu.ops.search_scan import window_span
+from triple_accel_tpu.parallel import (
+    assemble_sharded_search,
+    make_mesh,
+    match_count_psum,
+    sharded_distance_step,
+    sharded_search_step,
+)
+
+
+def _costs_t(c):
+    return (c.mismatch_cost, c.gap_cost, c.start_gap_cost,
+            c.transpose_cost_or_zero, c.allow_transpose)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_distance_matches_oracle():
+    rng = np.random.default_rng(7)
+    mesh = make_mesh()
+    B = 64  # divisible by 8
+    a_list, b_list, expected = [], [], []
+    k = 16
+    for _ in range(B):
+        ln = int(rng.integers(1, 100))
+        a = rng.integers(33, 127, ln).astype(np.uint8)
+        b = a.copy()
+        muts = rng.integers(0, max(1, ln), 5)
+        b[muts] = 33
+        if len(a) > len(b):
+            a, b = b, a
+        a_list.append(a)
+        b_list.append(b)
+        ref = levenshtein_naive_k_with_opts(a, b, k, False, LEVENSHTEIN_COSTS)
+        expected.append(-1 if ref is None else ref[0])
+
+    unit_k, max_m = 16, 128
+    a_pad, b_pad, m, n = prepare_band_inputs(a_list, b_list, unit_k, max_m)
+    dist = sharded_distance_step(
+        mesh, a_pad, b_pad, m, n,
+        unit_k=unit_k, max_m=max_m, costs_t=_costs_t(LEVENSHTEIN_COSTS),
+    )
+    dist = np.asarray(dist)
+    got = [int(d) if d <= k else -1 for d in dist]
+    assert got == expected
+
+    # psum histogram: global count of pairs within k
+    cnt = int(match_count_psum(mesh, dist, k))
+    assert cnt == sum(1 for e in expected if e >= 0)
+
+
+@pytest.mark.parametrize("costs", [LEVENSHTEIN_COSTS, RDAMERAU_COSTS])
+@pytest.mark.parametrize("n_total", [800, 1000])
+def test_sharded_search_matches_oracle(costs, n_total):
+    """The CP/ring-analog: haystack sharded across 8 devices with ppermute
+    halo exchange must reproduce the oracle's matches exactly."""
+    rng = np.random.default_rng(n_total)
+    mesh = make_mesh()
+    D = 8
+    m, k = 12, 3
+    needle = rng.integers(33, 127, m).astype(np.uint8)
+    haystack = rng.integers(33, 127, n_total).astype(np.uint8)
+    # plant needles, some straddling shard boundaries
+    S = -(-n_total // D)
+    for pos in [5, S - 4, S + 10, 3 * S - m // 2, 5 * S - 1, n_total - m - 1]:
+        if 0 <= pos <= n_total - m:
+            haystack[pos : pos + m] = needle
+            if pos % 2:
+                haystack[pos + m // 2] = 33  # one mismatch
+
+    shards = np.full((D, S), -1, dtype=np.int32)
+    shard_n = np.zeros(D, dtype=np.int32)
+    for d in range(D):
+        seg = haystack[d * S : (d + 1) * S]
+        shards[d, : len(seg)] = seg
+        shard_n[d] = len(seg)
+
+    halo = min(window_span(m, k, costs.gap_cost, costs.start_gap_cost), S)
+    dist, length = sharded_search_step(
+        mesh, needle.astype(np.int32), shards, shard_n,
+        needle_len=m, halo=halo, costs_t=_costs_t(costs),
+    )
+    gd, gl = assemble_sharded_search(
+        np.asarray(dist), np.asarray(length), shard_n, S
+    )
+    for st in (SearchType.All, SearchType.Best):
+        got = postprocess_matches(gd, gl, k, st)
+        ref = levenshtein_search_naive_with_opts(
+            needle, haystack, k, st, costs, False
+        )
+        assert got == ref, f"{st} {costs}"

@@ -3,5 +3,24 @@ batches, sequence-parallel sharded haystack search with halo exchange.
 
 The reference is single-threaded, single-process (SURVEY.md §2.5): these
 components are new, first-class in the TPU framework, built on
-`jax.sharding` meshes + XLA collectives (no custom comm backend needed).
+`jax.sharding` meshes + XLA collectives (no custom comm backend needed —
+XLA's runtime rides ICI within a slice and DCN across slices).
 """
+
+from .mesh import DATA_AXIS, batch_sharding, make_mesh
+from .sharded import (
+    assemble_sharded_search,
+    match_count_psum,
+    sharded_distance_step,
+    sharded_search_step,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "assemble_sharded_search",
+    "match_count_psum",
+    "sharded_distance_step",
+    "sharded_search_step",
+]

@@ -1,0 +1,37 @@
+"""Mesh construction helpers.
+
+The framework's parallel strategies (SURVEY.md §2.5) map onto a 1-D device
+mesh:
+
+* DP (data parallel): string-pair batches sharded on the ``pairs`` axis;
+* SP (sequence parallel): one long haystack sharded on the same axis with
+  halo exchange (see sharded.py).
+
+TP/PP/EP do not apply — there are no weight matrices, layers or experts in
+an edit-distance workload (documented N/A per SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = ["make_mesh", "batch_sharding", "DATA_AXIS"]
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = DATA_AXIS) -> Mesh:
+    """A 1-D mesh over all (or the given) devices."""
+    import numpy as np
+
+    devs = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch/chunk) dimension across the mesh."""
+    return NamedSharding(mesh, PartitionSpec(axis_name))

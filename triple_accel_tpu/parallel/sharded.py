@@ -1,0 +1,190 @@
+"""Multi-device execution: DP pair batches and SP sharded-haystack search.
+
+The reference is single-threaded (SURVEY.md §2.5); these are new,
+first-class components of the TPU framework:
+
+* ``sharded_distance_step``: the distance wavefront over a pair batch whose
+  leading axis is sharded across the mesh — pure data parallelism, zero
+  collectives on the hot path, one ``psum`` for the match-count histogram.
+* ``sharded_search_step``: the ring/CP analog.  Each device owns a
+  contiguous haystack shard; a single ``lax.ppermute`` passes the last
+  ``halo`` characters to the right neighbor (the ICI-neighbor pattern ring
+  attention uses), then every device runs the search wavefront on its own
+  (halo + shard) window.  A match is owned by the shard containing its end
+  index, so results equal the single-device run exactly for all costs <= k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.band_scan import band_scan_distance
+from ..ops.search_scan import search_scan
+from .mesh import DATA_AXIS, batch_sharding
+
+__all__ = [
+    "sharded_distance_step",
+    "match_count_psum",
+    "sharded_search_step",
+]
+
+
+def sharded_distance_step(
+    mesh: Mesh,
+    a_pad: jnp.ndarray,
+    b_pad: jnp.ndarray,
+    m: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    unit_k: int,
+    max_m: int,
+    costs_t: Tuple[int, int, int, int, bool],
+):
+    """Banded distance over a batch sharded on the mesh's data axis.
+
+    The scan is elementwise across the batch, so XLA partitions it with no
+    communication; this function only pins the shardings.
+    """
+    sh = batch_sharding(mesh)
+    args = [jax.device_put(x, sh) for x in (a_pad, b_pad, m, n)]
+    dist, _ = band_scan_distance(
+        *args, unit_k=unit_k, max_m=max_m, costs_t=costs_t, trace_on=False
+    )
+    return dist
+
+
+def match_count_psum(mesh: Mesh, dist: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Global count of pairs within threshold k — an explicit cross-device
+    ``psum`` reduction (BASELINE.json config 5 analog)."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(DATA_AXIS),
+        out_specs=P(),
+    )
+    def count(local):
+        c = jnp.sum((local <= k).astype(jnp.int32))
+        return lax.psum(c[None], DATA_AXIS)
+
+    return count(dist)[0]
+
+
+def sharded_search_step(
+    mesh: Mesh,
+    needle: jnp.ndarray,  # [m] int32
+    shards: jnp.ndarray,  # [D, S] int32 haystack shards (sentinel padded)
+    shard_n: jnp.ndarray,  # [D] int32 valid chars per shard
+    *,
+    needle_len: int,
+    halo: int,
+    costs_t: Tuple[int, int, int, int, bool],
+):
+    """Search a haystack that lives sharded across the mesh.
+
+    Each device holds one [S] shard.  One ppermute sends each shard's last
+    `halo` characters to its right neighbor; device d then scans
+    [halo_from_left | own shard] and reports (dist, length) for its owned
+    end positions plus its local within-threshold count via psum.
+
+    Returns (dist [D, S+1], length [D, S+1], sharded by device).  Entry
+    (d, i) is the result for global end position d*S + i; entry (0, 0) is
+    the global empty-prefix candidate; entries (d, 0) for d > 0 are
+    duplicates of their left neighbor's last owned position and must be
+    skipped by the host (owner-by-end rule).
+    """
+    m = needle_len
+    D, S = shards.shape
+    if halo > S:
+        raise ValueError(
+            f"halo ({halo}) must be <= shard size ({S}); use bigger shards "
+            "or a smaller k"
+        )
+    seg_len = halo + S
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_vma=False,
+    )
+    def step(needle_local, shard_local, n_local):
+        # shard_local: [1, S]; pass our tail to the right neighbor
+        idx = lax.axis_index(DATA_AXIS)
+        ndev = lax.axis_size(DATA_AXIS)
+        tail = shard_local[:, S - halo :] if halo > 0 else shard_local[:, :0]
+        left_halo = lax.ppermute(
+            tail,
+            DATA_AXIS,
+            [(d, (d + 1) % ndev) for d in range(ndev)],
+        )
+        # device 0 has no left neighbor: mask its halo to sentinel
+        left_halo = jnp.where(idx > 0, left_halo, jnp.int32(-1))
+        halo_eff = jnp.where(idx > 0, halo, 0)
+
+        # build the local segment [halo_eff + S] at offset m+1, sentinel
+        # padded: device 0 has no halo, so its shard starts at m+1 directly
+        # (requires halo <= S so the shard write fully covers the halo slot)
+        width = seg_len + 2 * m + 2
+        seg = jnp.full((1, width), -1, jnp.int32)
+        seg = lax.dynamic_update_slice(seg, left_halo, (0, m + 1))
+        seg = lax.dynamic_update_slice(seg, shard_local, (0, m + 1 + halo_eff))
+        # chars seen by this device: full halo (when idx>0) + own valid n.
+        # contract: every shard except the last is completely full, so the
+        # left neighbor's tail is always real data when idx > 0.
+        local_n = halo_eff + n_local
+        seg_off = jnp.reshape(idx * S - halo_eff, (1,))
+
+        dist, length = search_scan(
+            needle_local,
+            seg,
+            local_n,
+            seg_off,
+            needle_len=m,
+            seg_len=seg_len,
+            costs_t=costs_t,
+            anchored=False,
+        )
+        # owned end positions: local i in [halo_eff, halo_eff + S]
+        own_dist = lax.dynamic_slice(dist, (0, halo_eff), (1, S + 1))
+        own_len = lax.dynamic_slice(length, (0, halo_eff), (1, S + 1))
+        return own_dist, own_len
+
+    sh2 = NamedSharding(mesh, P(DATA_AXIS, None))
+    sh1 = NamedSharding(mesh, P(DATA_AXIS))
+    shards = jax.device_put(shards, sh2)
+    shard_n = jax.device_put(shard_n, sh1)
+    needle = jax.device_put(needle, NamedSharding(mesh, P()))
+    return step(needle, shards, shard_n)
+
+
+def assemble_sharded_search(
+    dist: np.ndarray, length: np.ndarray, shard_n: np.ndarray, S: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stitch per-device owned (dist, length) blocks into global arrays.
+
+    Device d's block covers global end positions [d*S, d*S + S]; position
+    d*S for d > 0 duplicates device d-1's last entry, so it is dropped.
+    """
+    D = dist.shape[0]
+    n = int(shard_n.sum())
+    out_d = np.full(n + 1, np.int64(1) << 40, dtype=np.int64)
+    out_l = np.zeros(n + 1, dtype=np.int64)
+    for d in range(D):
+        start = d * S  # global position of local entry 0
+        lo = 0 if d == 0 else 1
+        hi = min(int(shard_n[: d + 1].sum()) - start, S)
+        if hi < lo:
+            continue
+        out_d[start + lo : start + hi + 1] = dist[d, lo : hi + 1]
+        out_l[start + lo : start + hi + 1] = length[d, lo : hi + 1]
+    return out_d, out_l
