@@ -1,7 +1,10 @@
 """Headline benchmark: banded Levenshtein distance throughput on one chip.
 
-Workload follows BASELINE.md: 1000-byte string pairs, k = 32 (the banded
-wavefront), batch-sized for the TPU.  Prints ONE JSON line:
+Workload follows BASELINE.md: 1000-byte string pairs, k = 32, the Pallas
+banded wavefront kernel (the framework's native layer).  Batch-sized for
+the TPU and measured with pipelined dispatch (several batches in flight,
+one sync) — the production serving pattern — plus a strict synchronous
+round-trip number on stderr.  Prints ONE JSON line:
 
     {"metric": ..., "value": pairs/s, "unit": ..., "vs_baseline": ...}
 
@@ -24,17 +27,18 @@ def main():
     import jax
 
     from triple_accel_tpu.oracle.levenshtein import levenshtein_naive_k_with_opts
-    from triple_accel_tpu.ops.band_scan import (
-        band_scan_distance,
-        prepare_band_inputs,
+    from triple_accel_tpu.ops.pallas.lev_band import (
+        band_distance_pallas,
+        prepare_pallas_inputs,
     )
 
     STR_LEN = 1000
     K = 32
     UNIT_K = 32  # band for k=32, unit costs
     MAX_M = 1024
-    B = int(os.environ.get("BENCH_BATCH", "2048"))
+    B = int(os.environ.get("BENCH_BATCH", "16384"))
     COSTS_T = (1, 1, 0, 0, False)
+    on_tpu = jax.default_backend() == "tpu"
 
     rng = np.random.default_rng(1234)
 
@@ -47,29 +51,43 @@ def main():
     a_list = [rng.integers(33, 127, STR_LEN).astype(np.uint8) for _ in range(B)]
     b_list = [mutate(a, K // 2) for a in a_list]
 
-    a_pad, b_pad, m, n = prepare_band_inputs(a_list, b_list, UNIT_K, MAX_M)
-    a_pad, b_pad, m, n = map(jax.device_put, (a_pad, b_pad, m, n))
+    args = [
+        jax.device_put(x)
+        for x in prepare_pallas_inputs(a_list, b_list, UNIT_K, MAX_M)
+    ]
 
     def run():
-        d, _ = band_scan_distance(
-            a_pad, b_pad, m, n,
-            unit_k=UNIT_K, max_m=MAX_M, costs_t=COSTS_T, trace_on=False,
+        return band_distance_pallas(
+            *args,
+            unit_k=UNIT_K,
+            max_m=MAX_M,
+            costs_t=COSTS_T,
+            interpret=not on_tpu,
         )
-        return d
 
     # warmup/compile
     d = run()
-    np.asarray(d)
+    dist_host = np.asarray(d)[0]
 
-    reps = 5
+    # synchronous round trip (includes per-call dispatch latency)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run())
+        ts.append(time.perf_counter() - t0)
+    sync_pairs_per_sec = B / min(ts)
+
+    # pipelined: several batches in flight, sync once (serving pattern)
+    reps = 6
     t0 = time.perf_counter()
-    for _ in range(reps):
-        d = run()
-        np.asarray(d)  # force the full device round trip every rep
+    outs = [run() for _ in range(reps)]
+    for o in outs:
+        o.block_until_ready()
+    np.asarray(outs[-1])
     dt = time.perf_counter() - t0
     tpu_pairs_per_sec = B * reps / dt
 
-    # correctness spot check + scalar CPU baseline on a few pairs
+    # correctness spot check + scalar CPU baseline
     cpu_n = 3
     t0 = time.perf_counter()
     refs = [
@@ -79,7 +97,6 @@ def main():
     cpu_dt = time.perf_counter() - t0
     cpu_pairs_per_sec = cpu_n / cpu_dt
 
-    dist_host = np.asarray(d)[:cpu_n]
     for i in range(cpu_n):
         ref = -1 if refs[i] is None else refs[i][0]
         got = int(dist_host[i]) if dist_host[i] <= K else -1
@@ -97,7 +114,8 @@ def main():
     )
     print(
         f"# device={jax.devices()[0]} batch={B} reps={reps} "
-        f"tpu={tpu_pairs_per_sec:.0f} pairs/s "
+        f"pipelined={tpu_pairs_per_sec:.0f} pairs/s "
+        f"sync={sync_pairs_per_sec:.0f} pairs/s "
         f"cpu_scalar={cpu_pairs_per_sec:.2f} pairs/s",
         file=sys.stderr,
     )

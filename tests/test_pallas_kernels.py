@@ -1,0 +1,90 @@
+"""Pallas kernel conformance: the native path must agree exactly with the
+scalar oracle (the analog of forcing each jewel-* feature arm in the
+reference's CI matrix).  Runs in interpreter mode on the CPU test mesh; the
+compiled path is exercised on real TPU by bench.py and the verify flow.
+"""
+
+import numpy as np
+import pytest
+
+from triple_accel_tpu import EditCosts, LEVENSHTEIN_COSTS, RDAMERAU_COSTS
+from triple_accel_tpu.oracle import levenshtein_naive_k_with_opts
+from triple_accel_tpu.ops.pallas.lev_band import (
+    band_distance_pallas,
+    prepare_pallas_inputs,
+)
+
+INF32 = 1 << 30
+
+
+def _costs_t(c):
+    return (c.mismatch_cost, c.gap_cost, c.start_gap_cost,
+            c.transpose_cost_or_zero, c.allow_transpose)
+
+
+@pytest.mark.parametrize(
+    "costs",
+    [LEVENSHTEIN_COSTS, RDAMERAU_COSTS, EditCosts(2, 1, 2, None),
+     EditCosts(3, 2, 1, 2)],
+)
+def test_pallas_band_distance_matches_oracle(costs):
+    rng = np.random.default_rng(42 + costs.mismatch_cost)
+    unit_k, max_m, k = 8, 64, 8
+    a_list, b_list, expected = [], [], []
+    for _ in range(40):
+        ln = int(rng.integers(0, 60))
+        a = rng.integers(33, 127, ln).astype(np.uint8)
+        b = a.copy()
+        if ln:
+            b[rng.integers(0, ln, 3)] = 33
+        if rng.integers(0, 2) and ln > 4:
+            b = np.delete(b, rng.integers(0, len(b), 2))
+        if len(a) > len(b):
+            a, b = b, a
+        # feasibility precheck the dispatcher would do
+        if len(b) - len(a) > unit_k:
+            continue
+        a_list.append(a)
+        b_list.append(b)
+        ref = levenshtein_naive_k_with_opts(a, b, 10**9, False, costs)
+        expected.append(ref[0])
+
+    a_t, b_t, m, n, c_fin = prepare_pallas_inputs(a_list, b_list, unit_k, max_m)
+    dist = band_distance_pallas(
+        a_t, b_t, m, n, c_fin,
+        unit_k=unit_k, max_m=max_m, costs_t=_costs_t(costs), interpret=True,
+    )
+    dist = np.asarray(dist)[0]
+    for p, exp in enumerate(expected):
+        got = int(dist[p])
+        # the band may cap the distance above unit_k deviations; the oracle
+        # with unlimited k reports the true distance — they must agree
+        # whenever the true distance fits the band's threshold
+        if exp <= unit_k:
+            assert got == exp, f"pair {p}: {got} != {exp} ({costs})"
+        else:
+            assert got >= exp or got >= INF32
+
+
+def test_pallas_forced_dispatch_end_to_end():
+    """levenshtein_k_batch with the pallas path forced (interpret on CPU)
+    must equal the scan path."""
+    import os
+
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+
+    rng = np.random.default_rng(0)
+    a_list = [rng.integers(33, 127, 50).astype(np.uint8) for _ in range(10)]
+    b_list = []
+    for a in a_list:
+        b = a.copy()
+        b[rng.integers(0, 50, 4)] = 33
+        b_list.append(b)
+
+    ref = levenshtein_k_batch(a_list, b_list, 16)
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        got = levenshtein_k_batch(a_list, b_list, 16)
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+    assert got.tolist() == ref.tolist()

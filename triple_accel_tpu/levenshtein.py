@@ -272,6 +272,21 @@ def rdamerau_exp(a: BytesLike, b: BytesLike) -> int:
         k *= 2
 
 
+def _use_pallas() -> bool:
+    """Pick the native (Pallas) backend: forced, or by default on TPU."""
+    import jax
+
+    fp = forced_path()
+    if fp == "pallas":
+        return True
+    if fp in ("scan", "oracle"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def levenshtein_k_batch(
     a_batch: Sequence[BytesLike],
     b_batch: Sequence[BytesLike],
@@ -283,7 +298,8 @@ def levenshtein_k_batch(
     Computes the reference's `levenshtein_simd_k(a, b, k)` for every pair in
     one device dispatch.  Returns int64 distances with -1 where the pair's
     distance exceeds its (per-pair capped) threshold — the batched analog of
-    the reference returning None.
+    the reference returning None.  Dispatches to the Pallas kernel on TPU
+    (or when TRIPLE_ACCEL_TPU_FORCE_PATH=pallas), else to the lax.scan path.
     """
     from .ops.band_scan import band_scan_distance, prepare_band_inputs
 
@@ -315,8 +331,9 @@ def levenshtein_k_batch(
 
     uk_dev = round_up_pow2(unit_k, 4)
     max_m = round_up_pow2(max((len(a) for a in swapped_a), default=1), 8)
+    use_pallas = _use_pallas()
     DispatchDecision(
-        path="scan",
+        path="pallas" if use_pallas else "scan",
         cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
         unit_k=uk_dev,
         max_k=int(max_ks.max(initial=0)),
@@ -324,20 +341,38 @@ def levenshtein_k_batch(
         padded_n=B,
     ).log("levenshtein_k_batch")
 
-    a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(
-        swapped_a, swapped_b, uk_dev, max_m
-    )
-    dist, _ = band_scan_distance(
-        a_pad,
-        b_pad,
-        m_arr,
-        n_arr,
-        unit_k=uk_dev,
-        max_m=max_m,
-        costs_t=_costs_tuple(costs),
-        trace_on=False,
-    )
-    out = np.asarray(dist).astype(np.int64)
+    if use_pallas:
+        import jax
+
+        from .ops.pallas.lev_band import (
+            band_distance_pallas,
+            prepare_pallas_inputs,
+        )
+
+        a_t, b_t, m2, n2, c_fin = prepare_pallas_inputs(
+            swapped_a, swapped_b, uk_dev, max_m
+        )
+        dist2 = band_distance_pallas(
+            a_t, b_t, m2, n2, c_fin,
+            unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
+            interpret=jax.default_backend() != "tpu",
+        )
+        out = np.asarray(dist2)[0, :B].astype(np.int64)
+    else:
+        a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(
+            swapped_a, swapped_b, uk_dev, max_m
+        )
+        dist, _ = band_scan_distance(
+            a_pad,
+            b_pad,
+            m_arr,
+            n_arr,
+            unit_k=uk_dev,
+            max_m=max_m,
+            costs_t=_costs_tuple(costs),
+            trace_on=False,
+        )
+        out = np.asarray(dist).astype(np.int64)
     # handle both-empty pairs (the scan reports 0 there already) and
     # threshold misses
     out = np.where(feasible & (out <= max_ks), out, -1)

@@ -1,0 +1,6 @@
+"""Pallas/Mosaic TPU kernels — the framework's native performance layer
+(the TPU equivalent of the reference's src/jewel.rs SIMD cores)."""
+
+from . import lev_band
+
+__all__ = ["lev_band"]
