@@ -1,0 +1,81 @@
+"""Pallas search kernel conformance (interpreter mode): must agree exactly
+with the scalar oracle, including length tie-breaks and chunk halos."""
+
+import os
+
+import numpy as np
+import pytest
+
+from triple_accel_tpu import EditCosts, LEVENSHTEIN_COSTS, RDAMERAU_COSTS, SearchType
+from triple_accel_tpu.levenshtein import levenshtein_search_simd_with_opts
+from triple_accel_tpu.oracle import levenshtein_search_naive_with_opts
+
+
+def _forced(path):
+    class Ctx:
+        def __enter__(self):
+            os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = path
+
+        def __exit__(self, *a):
+            del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+
+    return Ctx()
+
+
+@pytest.mark.parametrize(
+    "costs,anchored",
+    [
+        (LEVENSHTEIN_COSTS, False),
+        (RDAMERAU_COSTS, False),
+        (EditCosts(2, 1, 1, None), False),
+        (LEVENSHTEIN_COSTS, True),
+        (RDAMERAU_COSTS, True),
+    ],
+)
+def test_pallas_search_matches_oracle(costs, anchored):
+    rng = np.random.default_rng(99)
+    m, k, n = 9, 2, 700
+    needle = rng.integers(33, 127, m).astype(np.uint8)
+    haystack = rng.integers(33, 127, n).astype(np.uint8)
+    for pos in [0, 50, 511, 512, 640, n - m]:
+        haystack[pos : pos + m] = needle
+        if pos % 2:
+            haystack[pos + 2] = 33
+    for st in (SearchType.All, SearchType.Best):
+        ref = levenshtein_search_naive_with_opts(
+            needle, haystack, k, st, costs, anchored
+        )
+        with _forced("pallas"):
+            got = levenshtein_search_simd_with_opts(
+                needle, haystack, k, st, costs, anchored
+            )
+        assert got == ref, f"{st} {costs} anchored={anchored}"
+
+
+def test_pallas_search_small_cases():
+    # a couple of the reference corpus cases through the pallas path
+    with _forced("pallas"):
+        got = levenshtein_search_simd_with_opts(
+            b"bcc", b"abcde", 1, SearchType.All, LEVENSHTEIN_COSTS, False
+        )
+    ref = levenshtein_search_naive_with_opts(
+        b"bcc", b"abcde", 1, SearchType.All, LEVENSHTEIN_COSTS, False
+    )
+    assert got == ref
+
+    with _forced("pallas"):
+        got = levenshtein_search_simd_with_opts(
+            b"test", b"...tseting!", 1, SearchType.All, EditCosts(1, 1, 0, 1),
+            False,
+        )
+    assert got == levenshtein_search_naive_with_opts(
+        b"test", b"...tseting!", 1, SearchType.All, EditCosts(1, 1, 0, 1), False
+    )
+
+    with _forced("pallas"):
+        got = levenshtein_search_simd_with_opts(
+            b"abc", b"", 5, SearchType.All, LEVENSHTEIN_COSTS, False
+        )
+    assert got == levenshtein_search_naive_with_opts(
+        b"abc", b"", 5, SearchType.All, LEVENSHTEIN_COSTS, False
+    )

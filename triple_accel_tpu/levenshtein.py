@@ -481,17 +481,21 @@ def levenshtein_search_simd_with_opts(
 
     halo = 0 if anchored else min(window_span(m, k, costs.gap_cost,
                                                costs.start_gap_cost), n)
+    use_pallas = _use_pallas()
     effective_n = iter_len
-    if effective_n <= 4096 or anchored:
+    # the Pallas path favors many 128-lane chunks; the scan path favors
+    # fewer, longer segments (its per-step work is already batched)
+    chunk_target = 512 if use_pallas else 4096
+    if effective_n <= chunk_target or anchored:
         own_len = round_up_pow2(max(effective_n, 1), 16)
     else:
-        own_len = 4096
+        own_len = chunk_target
 
     seg_pad, seg_n, seg_off, own_start, seg_len = chunk_haystack(
         haystack[:iter_len], m, halo, own_len
     )
     DispatchDecision(
-        path="scan",
+        path="pallas" if use_pallas else "scan",
         cost_bucket=select_cost_bucket(k if k < U32_MAX else U32_MAX),
         unit_k=halo,
         max_k=k,
@@ -499,18 +503,38 @@ def levenshtein_search_simd_with_opts(
         padded_n=seg_len,
     ).log("levenshtein_search_simd_with_opts")
 
-    dist_seg, len_seg = search_scan(
-        needle.astype(np.int32),
-        seg_pad,
-        seg_n,
-        seg_off,
-        needle_len=m,
-        seg_len=seg_len,
-        costs_t=_costs_tuple(costs),
-        anchored=anchored,
-    )
-    dist_seg = np.asarray(dist_seg)
-    len_seg = np.asarray(len_seg)
+    if use_pallas:
+        import jax
+
+        from .ops.pallas.search_kernel import (
+            prepare_search_pallas_inputs,
+            search_pallas,
+        )
+
+        nchar, nprev, seg_t, n2, off2, C0 = prepare_search_pallas_inputs(
+            needle.astype(np.int32), seg_pad, seg_n, seg_off
+        )
+        dist_seg, len_seg = search_pallas(
+            nchar, nprev, seg_t, n2, off2,
+            needle_len=m, seg_len=seg_len, costs_t=_costs_tuple(costs),
+            anchored=anchored,
+            interpret=jax.default_backend() != "tpu",
+        )
+        dist_seg = np.asarray(dist_seg)[:C0]
+        len_seg = np.asarray(len_seg)[:C0]
+    else:
+        dist_seg, len_seg = search_scan(
+            needle.astype(np.int32),
+            seg_pad,
+            seg_n,
+            seg_off,
+            needle_len=m,
+            seg_len=seg_len,
+            costs_t=_costs_tuple(costs),
+            anchored=anchored,
+        )
+        dist_seg = np.asarray(dist_seg)
+        len_seg = np.asarray(len_seg)
 
     # stitch owned ranges into global per-end-position arrays
     dists = np.full(iter_len + 1, np.int64(1) << 40, dtype=np.int64)

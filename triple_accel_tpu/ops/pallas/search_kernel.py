@@ -1,0 +1,270 @@
+"""Pallas/Mosaic TPU kernel: approximate string search wavefront.
+
+Native fast path for `levenshtein_search_*` — the TPU equivalent of the
+reference's `create_levenshtein_search_simd_core!` (src/levenshtein.rs:
+2157-2451), with the same anti-diagonal recurrence and length tie-breaks
+as ops/search_scan.py (which remains the portable reference path and the
+differential-test anchor).
+
+Layout: haystack *chunks* ride the 128-lane axis, the needle dimension
+(m + 1 DP lanes) rides sublanes.  The reversed haystack window w1[j] =
+seg[t-1-j] is updated by one sublane roll + insert per diagonal — and the
+previous window IS w2 (the hay[i-2] window needed by transpositions), so
+no per-step memory traffic is needed beyond one char row.
+
+History state (D and length at diagonals t-1..t-4) lives in VMEM scratch
+rings indexed by t % 4 rather than rotating fori_loop carries: the Mosaic
+build in this environment miscompiles kernels that combine several rolled,
+rotating loop carries (subprocess crash), and scratch rings are the
+canonical pattern anyway.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..band_scan import INF
+
+__all__ = ["search_pallas", "LANES"]
+
+LANES = 128
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def _make_kernel(m: int, mP: int, seg_len: int,
+                 costs_t: Tuple[int, int, int, int, bool], anchored: bool):
+    mc, gc, sgc, tc, allow_transpose = costs_t
+    T = m + seg_len
+
+    def kernel(nchar_ref, nprev_ref, seg_ref, n_ref, off_ref,
+               outd_ref, outl_ref,
+               dpr, lnr, ngr, nglr, hgr, hglr, wr):
+        # nchar/nprev: [mP, LANES] needle chars per DP lane (replicated)
+        # seg_ref: [width, LANES] transposed segments (char q at row q+m+1)
+        # scratch: dpr/lnr [4, mP, LANES] history rings (slot = t % 4);
+        #          ngr/nglr/hgr/hglr/wr [mP, LANES] running state
+        j_iota = lax.broadcasted_iota(jnp.int32, (mP, LANES), 0)
+        n_row = n_ref[0:1, :]
+        off_row = off_ref[0:1, :]
+        nchar = nchar_ref[...]
+        nprev = nprev_ref[...]
+
+        inf_t = jnp.full((mP, LANES), INF, jnp.int32)
+        zero_t = jnp.zeros((mP, LANES), jnp.int32)
+
+        # diag 0: D = [0, INF...]; older slots INF
+        for s in range(4):
+            dpr[s] = inf_t
+            lnr[s] = zero_t
+        dpr[0] = jnp.where(j_iota == 0, jnp.int32(0), jnp.int32(INF))
+        ngr[...] = inf_t
+        nglr[...] = zero_t
+        hgr[...] = inf_t
+        hglr[...] = zero_t
+        wr[...] = jnp.full((mP, LANES), -3, jnp.int32)
+
+        def shift_down(x, fill):
+            return jnp.where(j_iota == 0, fill, pltpu.roll(x, shift=1, axis=0))
+
+        def body(t, _):
+            s1 = (t - 1) % 4  # D[t-1]
+            s2 = (t - 2) % 4  # D[t-2]
+            s0 = t % 4        # D[t-4] — and where D[t] is written
+            dp1 = dpr[s1]
+            len1 = lnr[s1]
+
+            char_new = seg_ref[pl.ds(t + m, 1), :]  # seg[t-1], [1, LANES]
+            w2 = wr[...]
+            w1 = jnp.where(
+                j_iota == 0, char_new, pltpu.roll(w2, shift=1, axis=0)
+            )
+            wr[...] = w1
+
+            i_vec = t - j_iota
+            valid = (i_vec >= 0) & (i_vec <= n_row) & (j_iota <= m)
+
+            # needle gap (consume haystack): same lane, diag t-1
+            new_g = dp1 + (sgc + gc)
+            cont_g = jnp.minimum(ngr[...], INF) + gc
+            ng2 = jnp.minimum(new_g, cont_g)
+            ngl2 = jnp.where(
+                new_g < cont_g,
+                len1 + 1,
+                jnp.where(new_g > cont_g, nglr[...] + 1,
+                          jnp.maximum(len1, nglr[...]) + 1),
+            )
+
+            # haystack gap (consume needle): lane j-1, diag t-1
+            dp1s = shift_down(dp1, INF)
+            hgs = shift_down(hgr[...], INF)
+            len1s = shift_down(len1, 0)
+            hgls = shift_down(hglr[...], 0)
+            new_h = dp1s + (sgc + gc)
+            cont_h = jnp.minimum(hgs, INF) + gc
+            hg2 = jnp.minimum(new_h, cont_h)
+            hgl2 = jnp.where(
+                new_h < cont_h,
+                len1s,
+                jnp.where(new_h > cont_h, hgls, jnp.maximum(len1s, hgls)),
+            )
+
+            # substitution: lane j-1, diag t-2
+            dp2s = shift_down(dpr[s2], INF)
+            len2s = shift_down(lnr[s2], 0)
+            sub = dp2s + jnp.where(nchar == w1, 0, mc)
+            lsub = len2s + 1
+
+            # selection cascade, reference order (levenshtein.rs:1752-1779)
+            dp = ng2
+            ln = ngl2
+            take_h = (hg2 < dp) | ((hg2 == dp) & (len1s > ln))
+            dp = jnp.where(take_h, hg2, dp)
+            ln = jnp.where(take_h, hgl2, ln)
+            take_s = (sub < dp) | ((sub == dp) & (lsub > ln))
+            dp = jnp.where(take_s, sub, dp)
+            ln = jnp.where(take_s, lsub, ln)
+            if allow_transpose:
+                dp4ss = shift_down(shift_down(dpr[s0], INF), INF)
+                len4ss = shift_down(shift_down(lnr[s0], 0), 0)
+                tcond = (
+                    (i_vec > 1) & (j_iota > 1) & (nchar == w2) & (nprev == w1)
+                )
+                trans = dp4ss + tc
+                take_t = tcond & (trans <= dp)
+                dp = jnp.where(take_t, trans, dp)
+                ln = jnp.where(take_t, len4ss + 2, ln)
+
+            dp = jnp.where(valid, jnp.minimum(dp, INF), INF)
+            ln = jnp.where(valid, ln, 0)
+
+            # boundary row j = 0
+            if anchored:
+                boundary = (off_row + t) * gc + sgc
+            else:
+                boundary = jnp.zeros((1, LANES), jnp.int32)
+            brow = jnp.where(t <= n_row, boundary, INF)
+            dp = jnp.where(j_iota == 0, brow, dp)
+            ln = jnp.where(j_iota == 0, 0, ln)
+            ngr[...] = jnp.where(j_iota == 0, brow, ng2)
+            nglr[...] = jnp.where(j_iota == 0, 0, ngl2)
+            hgr[...] = jnp.where(j_iota == 0, INF, hg2)
+            hglr[...] = jnp.where(j_iota == 0, 0, hgl2)
+
+            dpr[s0] = dp
+            lnr[s0] = ln
+
+            # emit row m for this diagonal (position i = t - m)
+            @pl.when(t >= m)
+            def _():
+                outd_ref[pl.ds(t - m, 1), :] = dp[m : m + 1, :]
+                outl_ref[pl.ds(t - m, 1), :] = ln[m : m + 1, :]
+
+            return 0
+
+        lax.fori_loop(1, T + 1, body, 0)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("needle_len", "seg_len", "costs_t", "anchored",
+                     "interpret"),
+)
+def search_pallas(
+    nchar: jnp.ndarray,  # [mP, LANES] needle char per DP lane, replicated
+    nprev: jnp.ndarray,  # [mP, LANES] needle[j-2] per DP lane
+    seg_t: jnp.ndarray,  # [width_pad, C] transposed segments
+    seg_n: jnp.ndarray,  # [1, C]
+    seg_off: jnp.ndarray,  # [1, C]
+    *,
+    needle_len: int,
+    seg_len: int,
+    costs_t: Tuple[int, int, int, int, bool],
+    anchored: bool,
+    interpret: bool = False,
+):
+    """Returns (dist [C, seg_len+1], length [C, seg_len+1]) like search_scan.
+
+    C must be a multiple of 128 (pad with empty segments).
+    """
+    m = needle_len
+    mP = nchar.shape[0]
+    C = seg_t.shape[1]
+    assert C % LANES == 0
+    width = seg_t.shape[0]
+    out_rows = _round_up(seg_len + 1, 8)
+
+    kernel = _make_kernel(m, mP, seg_len, costs_t, anchored)
+    outd, outl = pl.pallas_call(
+        kernel,
+        grid=(C // LANES,),
+        in_specs=[
+            pl.BlockSpec((mP, LANES), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mP, LANES), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((out_rows, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_rows, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((out_rows, C), jnp.int32),
+            jax.ShapeDtypeStruct((out_rows, C), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, mP, LANES), jnp.int32),  # dpr
+            pltpu.VMEM((4, mP, LANES), jnp.int32),  # lnr
+            pltpu.VMEM((mP, LANES), jnp.int32),  # ngr
+            pltpu.VMEM((mP, LANES), jnp.int32),  # nglr
+            pltpu.VMEM((mP, LANES), jnp.int32),  # hgr
+            pltpu.VMEM((mP, LANES), jnp.int32),  # hglr
+            pltpu.VMEM((mP, LANES), jnp.int32),  # wr
+        ],
+        interpret=interpret,
+    )(nchar, nprev, seg_t, seg_n, seg_off)
+    return outd[: seg_len + 1].T, outl[: seg_len + 1].T
+
+
+def prepare_search_pallas_inputs(needle: np.ndarray, seg_pad: np.ndarray,
+                                 seg_n: np.ndarray, seg_off: np.ndarray):
+    """Adapt chunk_haystack outputs ([C, width] row-major) to the kernel's
+    transposed, 128-padded layout."""
+    m = len(needle)
+    mP = _round_up(m + 1, 8)
+    C0, width0 = seg_pad.shape
+    C = _round_up(C0, LANES)
+    width = _round_up(width0, 8)
+
+    npad = np.full(mP + 2, -1, dtype=np.int32)
+    npad[2 : 2 + m] = needle
+    nchar = np.repeat(npad[1 : 1 + mP, None], LANES, axis=1).astype(np.int32)
+    nprev = np.repeat(npad[0:mP, None], LANES, axis=1).astype(np.int32)
+
+    seg_t = np.full((width, C), -1, dtype=np.int32)
+    seg_t[:width0, :C0] = seg_pad.T
+    n2 = np.zeros((1, C), dtype=np.int32)
+    n2[0, :C0] = seg_n
+    off2 = np.zeros((1, C), dtype=np.int32)
+    off2[0, :C0] = seg_off
+    return nchar, nprev, seg_t, n2, off2, C0
