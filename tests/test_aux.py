@@ -1,0 +1,76 @@
+"""Auxiliary subsystems: checkpoint/resume sweeps, profiling metrics
+(SURVEY.md §5 build items)."""
+
+import numpy as np
+
+from triple_accel_tpu import LEVENSHTEIN_COSTS, SearchType
+from triple_accel_tpu.levenshtein import levenshtein_search_simd_with_opts
+from triple_accel_tpu.oracle import levenshtein_search_naive_with_opts
+from triple_accel_tpu.sweep import levenshtein_search_sweep
+from triple_accel_tpu.utils.checkpoint import SweepCheckpoint
+from triple_accel_tpu.utils.profiling import Throughput, kernel_cost_estimate
+
+
+def _workload(n=30000, m=12, k=2, seed=3):
+    rng = np.random.default_rng(seed)
+    needle = rng.integers(33, 127, m).astype(np.uint8)
+    hay = rng.integers(33, 127, n).astype(np.uint8)
+    for pos in rng.integers(0, n - m, 20):
+        hay[pos : pos + m] = needle
+    return needle, hay, k
+
+
+def test_sweep_equals_monolithic():
+    needle, hay, k = _workload()
+    for st in (SearchType.All, SearchType.Best):
+        ref = levenshtein_search_naive_with_opts(
+            needle, hay, k, st, LEVENSHTEIN_COSTS, False
+        )
+        got = levenshtein_search_sweep(
+            needle, hay, k, st, LEVENSHTEIN_COSTS, slab_chars=7000
+        )
+        assert got == ref, st
+
+
+def test_sweep_resume(tmp_path):
+    needle, hay, k = _workload()
+    ck = str(tmp_path / "sweep.npz")
+
+    # simulate a preemption: run only the first slab manually
+    full = levenshtein_search_sweep(
+        needle, hay, k, SearchType.All, LEVENSHTEIN_COSTS, slab_chars=7000
+    )
+    # seed a checkpoint as if the first two slabs completed, then resume
+    partial = SweepCheckpoint.load_or_create(ck)
+    first_two = [m for m in full if m.end <= 14000]
+    partial.advance(14000, first_two)
+    resumed = levenshtein_search_sweep(
+        needle, hay, k, SearchType.All, LEVENSHTEIN_COSTS,
+        slab_chars=7000, checkpoint_path=ck,
+    )
+    assert resumed == full
+    import os
+
+    assert not os.path.exists(ck)  # consumed on success
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from triple_accel_tpu import Match
+
+    p = str(tmp_path / "c.npz")
+    c = SweepCheckpoint.load_or_create(p)
+    c.advance(123, [Match(1, 5, 2)], curr_k=2)
+    c2 = SweepCheckpoint.load_or_create(p)
+    assert c2.offset == 123
+    assert c2.matches == [Match(1, 5, 2)]
+    assert c2.curr_k == 2
+
+
+def test_throughput_and_roofline():
+    t = Throughput()
+    with t.measure(pairs=100, bytes_processed=1000):
+        pass
+    r = t.report()
+    assert r["pairs_per_sec"] > 0
+    est = kernel_cost_estimate(batch=16384, rows=1024, band=65)
+    assert est["ideal_pairs_per_sec"] > 0

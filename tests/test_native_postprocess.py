@@ -1,0 +1,103 @@
+"""Native C++ postprocessing must agree exactly with the NumPy fallback
+(and both with the oracle's streaming semantics) on randomized inputs."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from triple_accel_tpu import Match, SearchType
+from triple_accel_tpu.utils import native as native_mod
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(["make", "-C", os.path.join(root, "native")], check=True,
+                   capture_output=True)
+    native_mod._load.cache_clear()
+    yield
+
+
+def _python_matches(dists, lengths, k, best):
+    res = []
+    curr_k = k
+    for i in range(len(dists)):
+        d = int(dists[i])
+        if d > (curr_k if best else k):
+            continue
+        if best:
+            curr_k = d
+        m = Match(start=int(i - lengths[i]), end=int(i), k=d)
+        if best and res and m.start <= res[-1].start:
+            res[-1] = m
+        else:
+            res.append(m)
+    if best:
+        return [m for m in res if m.k == curr_k]
+    return res
+
+
+def test_native_loads():
+    assert native_mod.native_available()
+
+
+@pytest.mark.parametrize("best", [False, True])
+def test_native_matches_python(best):
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n = int(rng.integers(1, 500))
+        dists = rng.integers(0, 8, n).astype(np.int64)
+        dists[rng.random(n) < 0.7] = 1 << 40  # non-candidates
+        lengths = rng.integers(0, 20, n).astype(np.int64)
+        k = int(rng.integers(0, 6))
+        got = native_mod.postprocess_matches_native(dists, lengths, k, best)
+        assert got is not None
+        assert got == _python_matches(dists, lengths, k, best), (trial, k, best)
+
+
+@pytest.mark.parametrize("best", [False, True])
+def test_native_hamming_matches_python(best):
+    rng = np.random.default_rng(1)
+    for trial in range(20):
+        n = int(rng.integers(1, 500))
+        counts = rng.integers(0, 10, n).astype(np.int64)
+        k = int(rng.integers(0, 6))
+        m = 7
+        got = native_mod.postprocess_hamming_native(counts, m, k, best)
+        assert got is not None
+        # python reference
+        res, curr_k = [], k
+        for i in range(n):
+            c = int(counts[i])
+            if c <= curr_k:
+                if best:
+                    curr_k = c
+                res.append(Match(start=i, end=i + m, k=c))
+        if best:
+            res = [x for x in res if x.k == curr_k]
+        assert got == res
+
+
+def test_end_to_end_search_uses_native():
+    """Search through the public API with native postprocessing built."""
+    from triple_accel_tpu import LEVENSHTEIN_COSTS
+    from triple_accel_tpu.levenshtein import (
+        levenshtein_search_simd_with_opts,
+    )
+    from triple_accel_tpu.oracle import levenshtein_search_naive_with_opts
+
+    rng = np.random.default_rng(2)
+    needle = rng.integers(33, 127, 10).astype(np.uint8)
+    hay = rng.integers(33, 127, 3000).astype(np.uint8)
+    hay[100:110] = needle
+    hay[2000:2010] = needle
+    for st in (SearchType.All, SearchType.Best):
+        got = levenshtein_search_simd_with_opts(
+            needle, hay, 2, st, LEVENSHTEIN_COSTS, False
+        )
+        ref = levenshtein_search_naive_with_opts(
+            needle, hay, 2, st, LEVENSHTEIN_COSTS, False
+        )
+        assert got == ref

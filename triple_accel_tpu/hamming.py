@@ -149,6 +149,15 @@ def hamming_search_simd_with_opts(
 
     counts = _search_counts_device(needle, haystack)
     m = len(needle)
+
+    from .utils.native import postprocess_hamming_native
+
+    native = postprocess_hamming_native(
+        counts, m, k, search_type == SearchType.Best
+    )
+    if native is not None:
+        return native
+
     res: List[Match] = []
     curr_k = k
     hits = np.flatnonzero(counts <= min(k, m))

@@ -398,7 +398,19 @@ def postprocess_matches(
     it fully overlaps it (start <= previous start), and only k == final
     curr_k entries survive.  This two-pass form is behaviorally identical
     to the reference's lazy iterator (see SURVEY.md §7 hard parts).
+
+    Uses the native C++ pass (native/postprocess.cpp) when built; falls
+    back to NumPy.
     """
+    from .utils.native import postprocess_matches_native
+
+    native = postprocess_matches_native(
+        np.asarray(dists), np.asarray(lengths), k,
+        search_type == SearchType.Best,
+    )
+    if native is not None:
+        return native
+
     res: List[Match] = []
     curr_k = k
     hits = np.flatnonzero(dists <= k)

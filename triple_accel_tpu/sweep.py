@@ -1,0 +1,107 @@
+"""Resumable chunked search sweeps over very long haystacks.
+
+For 100MB-scale haystacks, `levenshtein_search_sweep` processes the
+haystack in slabs (each slab internally chunk-parallel on the device),
+persists a cursor + compact candidate list after every slab
+(utils/checkpoint.py), and applies the global Best/All streaming semantics
+at the end.  Candidates are (end, dist, length) triples with dist <= k —
+the streaming pass only ever inspects those, so slab-wise collection is
+exactly equivalent to the reference's one-pass iterator (SURVEY.md §7).
+
+Slabs overlap by the match window (halo), and a candidate is owned by the
+slab containing its end index, so results equal a single monolithic search.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+from .oracle.levenshtein import default_search_k
+from .types import BytesLike, EditCosts, LEVENSHTEIN_COSTS, Match, SearchType, to_bytes_array
+
+__all__ = ["levenshtein_search_sweep"]
+
+
+def levenshtein_search_sweep(
+    needle: BytesLike,
+    haystack: BytesLike,
+    k: Optional[int] = None,
+    search_type: SearchType = SearchType.Best,
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+    slab_chars: int = 1 << 22,
+    checkpoint_path: Optional[str] = None,
+) -> List[Match]:
+    """Search a very long haystack slab by slab, optionally resumable.
+
+    Equivalent to `levenshtein_search_simd_with_opts(..., anchored=False)`
+    but bounded-memory and restartable: with `checkpoint_path`, a killed
+    sweep resumes from the last completed slab.
+    """
+    from .levenshtein import levenshtein_search_simd_with_opts
+    from .ops.search_scan import window_span
+    from .utils.checkpoint import SweepCheckpoint
+
+    needle = to_bytes_array(needle)
+    haystack = to_bytes_array(haystack)
+    m, n = len(needle), len(haystack)
+    if k is None:
+        k = default_search_k(m)
+    if m == 0 or n <= slab_chars:
+        return levenshtein_search_simd_with_opts(
+            needle, haystack, k, search_type, costs, False
+        )
+    costs.check_search()
+
+    halo = min(window_span(m, k, costs.gap_cost, costs.start_gap_cost), n)
+
+    ckpt = (
+        SweepCheckpoint.load_or_create(checkpoint_path)
+        if checkpoint_path
+        else SweepCheckpoint(path="")
+    )
+
+    # candidates accumulated as raw (end, dist, length) in ckpt.matches
+    # (Match is a convenient triple container: start slot holds length)
+    offset = ckpt.offset
+    while offset < n:
+        slab_end = min(offset + slab_chars, n)
+        lo = max(0, offset - halo)
+        slab = haystack[lo:slab_end]
+        cands = levenshtein_search_simd_with_opts(
+            needle, slab, k, SearchType.All, costs, False
+        )
+        new = []
+        for c in cands:
+            g_end = lo + c.end
+            # owner-by-end: only candidates ending inside this slab's owned
+            # range; the empty-prefix candidate belongs to the first slab
+            if (offset < g_end <= slab_end) or (g_end == 0 and offset == 0):
+                new.append(Match(start=lo + c.start, end=g_end, k=c.k))
+        if checkpoint_path:
+            ckpt.advance(slab_end, new)
+        else:
+            ckpt.matches.extend(new)
+            ckpt.offset = slab_end
+        offset = slab_end
+
+    cands = ckpt.matches
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        os.unlink(checkpoint_path)
+
+    if search_type == SearchType.All:
+        return list(cands)
+
+    # global Best streaming pass over the compact candidates
+    # (postprocess_matches expects dense per-position arrays; candidates
+    # here are sparse, so run the streaming logic directly)
+    res: List[Match] = []
+    curr_k = k
+    for c in cands:
+        if c.k <= curr_k:
+            curr_k = c.k
+            if res and c.start <= res[-1].start:
+                res[-1] = c
+            else:
+                res.append(c)
+    return [c for c in res if c.k == curr_k]

@@ -1,0 +1,114 @@
+"""ctypes loader for the native (C++) host components.
+
+The framework's device layer is Pallas/XLA; the host-side sequential passes
+(match post-processing over per-position candidate arrays) have a native
+C++ implementation in native/postprocess.cpp, built with `make -C native`.
+Python fallbacks exist for every native entry point, so the library works
+without the shared object; `native_available()` reports which path is live
+(the analog of the reference's debug dispatch print).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from functools import lru_cache
+from typing import List, Optional
+
+import numpy as np
+
+from ..types import Match
+
+__all__ = [
+    "native_available",
+    "postprocess_matches_native",
+    "postprocess_hamming_native",
+]
+
+_LIB_NAME = "libta_native.so"
+
+
+@lru_cache(maxsize=1)
+def _load() -> Optional[ctypes.CDLL]:
+    if os.environ.get("TRIPLE_ACCEL_TPU_NO_NATIVE", "") not in ("", "0"):
+        return None
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    candidates = [
+        os.path.join(here, "native", _LIB_NAME),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), _LIB_NAME),
+    ]
+    for path in candidates:
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.ta_postprocess_matches.restype = ctypes.c_int64
+            lib.ta_postprocess_matches.argtypes = [
+                i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int64, i64p, i64p, i64p,
+            ]
+            lib.ta_postprocess_hamming.restype = ctypes.c_int64
+            lib.ta_postprocess_hamming.argtypes = [
+                i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int64, i64p, i64p, i64p,
+            ]
+            return lib
+    return None
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _as_i64_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def postprocess_matches_native(
+    dists: np.ndarray, lengths: np.ndarray, k: int, best: bool
+) -> Optional[List[Match]]:
+    """Native streaming Best/All pass; None if the library isn't built."""
+    lib = _load()
+    if lib is None:
+        return None
+    dists = np.ascontiguousarray(dists, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    n = len(dists)
+    cap = n if n else 1
+    out_s = np.empty(cap, dtype=np.int64)
+    out_e = np.empty(cap, dtype=np.int64)
+    out_k = np.empty(cap, dtype=np.int64)
+    cnt = lib.ta_postprocess_matches(
+        _as_i64_ptr(dists), _as_i64_ptr(lengths), n, k, 1 if best else 0,
+        cap, _as_i64_ptr(out_s), _as_i64_ptr(out_e), _as_i64_ptr(out_k),
+    )
+    return [
+        Match(start=int(out_s[i]), end=int(out_e[i]), k=int(out_k[i]))
+        for i in range(cnt)
+    ]
+
+
+def postprocess_hamming_native(
+    counts: np.ndarray, needle_len: int, k: int, best: bool
+) -> Optional[List[Match]]:
+    """Native hamming-search pass; None if the library isn't built."""
+    lib = _load()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n = len(counts)
+    cap = n if n else 1
+    out_s = np.empty(cap, dtype=np.int64)
+    out_e = np.empty(cap, dtype=np.int64)
+    out_k = np.empty(cap, dtype=np.int64)
+    cnt = lib.ta_postprocess_hamming(
+        _as_i64_ptr(counts), n, needle_len, k, 1 if best else 0,
+        cap, _as_i64_ptr(out_s), _as_i64_ptr(out_e), _as_i64_ptr(out_k),
+    )
+    return [
+        Match(start=int(out_s[i]), end=int(out_e[i]), k=int(out_k[i]))
+        for i in range(cnt)
+    ]
