@@ -66,6 +66,69 @@ def test_pallas_band_distance_matches_oracle(costs):
             assert got >= exp or got >= INF32
 
 
+@pytest.mark.parametrize("band_dtype", ["int8", "int16", "int32"])
+def test_pallas_band_dtype_ladder(band_dtype):
+    """The narrow-band dtypes (the reference's 8/16/32-bit Jewel ladder,
+    levenshtein.rs:766-823) must agree exactly with the oracle below the
+    threshold and only saturate above it."""
+    from triple_accel_tpu.ops.pallas.lev_band import select_band_dtype
+
+    costs = RDAMERAU_COSTS
+    ct = _costs_t(costs)
+    rng = np.random.default_rng(3)
+    unit_k, max_m = 8, 64
+    name, inf = select_band_dtype(16, unit_k, ct)
+    assert name == "int8" and inf > 16  # unit costs, narrow band -> int8 fits
+    a_list, b_list, expected = [], [], []
+    for _ in range(50):
+        ln = int(rng.integers(1, 60))
+        a = rng.integers(33, 127, ln).astype(np.uint8)
+        b = a.copy()
+        b[rng.integers(0, ln, 2)] = 33
+        if rng.integers(0, 2) and ln > 4:
+            b = np.delete(b, rng.integers(0, len(b), 2))
+        if len(a) > len(b):
+            a, b = b, a
+        if len(b) - len(a) > unit_k:
+            continue
+        a_list.append(a)
+        b_list.append(b)
+        expected.append(
+            levenshtein_naive_k_with_opts(a, b, 10**9, False, costs)[0]
+        )
+    a_t, b_t, m, n, c_fin = prepare_pallas_inputs(a_list, b_list, unit_k, max_m)
+    dist = np.asarray(
+        band_distance_pallas(
+            a_t, b_t, m, n, c_fin,
+            unit_k=unit_k, max_m=max_m, costs_t=ct,
+            band_dtype=band_dtype, interpret=True,
+        )
+    )[0]
+    for p, exp in enumerate(expected):
+        got = int(dist[p])
+        if exp <= unit_k:
+            assert got == exp, f"pair {p}: {got} != {exp} ({band_dtype})"
+        else:
+            assert got >= min(exp, unit_k + 1)
+
+
+def test_select_band_dtype_headroom_rules():
+    from triple_accel_tpu.ops.pallas.lev_band import select_band_dtype
+
+    # unit costs, small band: int8 with inf well above max_k
+    name, inf = select_band_dtype(32, 32, (1, 1, 0, 0, False))
+    assert name == "int8" and inf == 127 - 64 and inf > 32
+    # max_k too large for int8 headroom -> int16
+    name, inf = select_band_dtype(100, 32, (1, 1, 0, 0, False))
+    assert name == "int16" and inf > 100
+    # huge costs force int32
+    name, inf = select_band_dtype(10**6, 32, (255, 255, 255, 0, False))
+    assert name == "int32"
+    # wide band pushes the affine-chain intermediate past int8
+    name, _ = select_band_dtype(8, 256, (1, 1, 0, 0, False))
+    assert name == "int16"
+
+
 def test_pallas_forced_dispatch_end_to_end():
     """levenshtein_k_batch with the pallas path forced (interpret on CPU)
     must equal the scan path."""

@@ -347,15 +347,31 @@ def levenshtein_k_batch(
         from .ops.pallas.lev_band import (
             band_distance_pallas,
             prepare_pallas_inputs,
+            select_band_dtype,
         )
 
         a_t, b_t, m2, n2, c_fin = prepare_pallas_inputs(
             swapped_a, swapped_b, uk_dev, max_m
         )
+        interpret = jax.default_backend() != "tpu"
+        # The narrow-band ladder (the reference's 8/16/32-bit Jewel dispatch,
+        # levenshtein.rs:766-823) is exact but the current Mosaic toolchain
+        # cannot lower sub-int32 roll/select ops, so the compiled TPU path
+        # pins int32; interpret mode (and future toolchains, via
+        # TRIPLE_ACCEL_TPU_NARROW_BAND=1) use the narrowest safe dtype.
+        import os as _os
+
+        if interpret or _os.environ.get("TRIPLE_ACCEL_TPU_NARROW_BAND") == "1":
+            band_dtype, _ = select_band_dtype(
+                int(max_ks.max(initial=0)), uk_dev, _costs_tuple(costs)
+            )
+        else:
+            band_dtype = "int32"
         dist2 = band_distance_pallas(
             a_t, b_t, m2, n2, c_fin,
             unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
-            interpret=jax.default_backend() != "tpu",
+            band_dtype=band_dtype,
+            interpret=interpret,
         )
         out = np.asarray(dist2)[0, :B].astype(np.int64)
     else:

@@ -17,6 +17,14 @@ strings and one output row, unlike the lax.scan path whose carried state
 round-trips HBM every row.  The recurrence is identical to
 ops/band_scan.py (row scan + cummin-resolved affine horizontal chain) and
 is differentially tested against the scalar oracle.
+
+Cost-width ladder: like the reference's 8/16/32-bit Jewel families
+(dispatch at src/levenshtein.rs:766-823, "max_k <= u8::MAX-1" etc.), the
+band state dtype is chosen by `select_band_dtype` from (max_k, band width,
+costs): int8 packs 4 band cells per 32-bit VPU lane, int16 packs 2 — the
+same saturating-unsigned trick, realized as a signed dtype with a
+headroom-checked +inf sentinel and an explicit clamp per step (the
+reference instead relies on hardware saturating adds, jewel.rs:2264-2288).
 """
 
 from __future__ import annotations
@@ -33,7 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..band_scan import INF
 
-__all__ = ["band_distance_pallas", "LANES"]
+__all__ = [
+    "band_distance_pallas",
+    "prepare_pallas_inputs",
+    "select_band_dtype",
+    "LANES",
+]
 
 LANES = 128
 
@@ -42,53 +55,91 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def _shift_up(x: jnp.ndarray, c_iota: jnp.ndarray, W: int) -> jnp.ndarray:
-    """x[c] <- x[c+1] along sublanes, INF into the last row.
+def select_band_dtype(
+    max_k: int, unit_k: int, costs_t: Tuple[int, int, int, int, bool]
+) -> Tuple[str, int]:
+    """Pick the narrowest band-state dtype with enough headroom.
+
+    Mirrors the reference's Jewel-width dispatch rules
+    (levenshtein.rs:766-823: smallest lane width with
+    `max_k <= dtype_max - 1`), adapted to signed TPU lanes: every
+    intermediate the kernel forms must stay within the dtype —
+      * per-step adds:            inf + max(mc, sgc+gc, tc)
+      * affine-chain intermediate e: inf + sgc + (W-1)*gc
+      * slope-adjusted g lower bound: -(W-1)*gc
+    so inf = dtype_max - max(those terms); the dtype is usable when
+    inf > max_k (distances above max_k may saturate at inf: DP values
+    along an optimal path are monotone non-decreasing, so no cell on a
+    path with final cost <= max_k ever exceeds max_k).
+
+    Returns (dtype name, inf sentinel).
+    """
+    mc, gc, sgc, tc, _ = costs_t
+    W = 2 * unit_k + 1
+    slack = max(mc, sgc + gc, tc, gc, sgc + (W - 1) * gc)
+    for name, dmax, dmin in (("int8", 127, -128), ("int16", 32767, -32768)):
+        inf = dmax - slack
+        if inf > max_k and -(W - 1) * gc >= dmin:
+            return name, inf
+    return "int32", int(INF)
+
+
+def _shift_up(x: jnp.ndarray, c_iota: jnp.ndarray, W: int, inf) -> jnp.ndarray:
+    """x[c] <- x[c+1] along sublanes, inf into the last row.
 
     pltpu.roll only takes non-negative shifts, so roll by W-1 (circularly
     equivalent to -1) and mask the wrapped row."""
     rolled = pltpu.roll(x, shift=W - 1, axis=0)
-    return jnp.where(c_iota == W - 1, INF, rolled)
+    return jnp.where(c_iota == W - 1, inf, rolled)
 
 
-def _cummin_sublanes(g: jnp.ndarray, c_iota: jnp.ndarray, W: int) -> jnp.ndarray:
+def _cummin_sublanes(g: jnp.ndarray, c_iota: jnp.ndarray, W: int, inf) -> jnp.ndarray:
     """Inclusive running minimum along the sublane (band) axis in log2(W)
     roll+min steps — the TPU version of the horizontal affine-gap chain."""
     m = g
     off = 1
     while off < W:
         shifted = pltpu.roll(m, shift=off, axis=0)
-        shifted = jnp.where(c_iota >= off, shifted, INF)
+        shifted = jnp.where(c_iota >= off, shifted, inf)
         m = jnp.minimum(m, shifted)
         off <<= 1
     return m
 
 
 def _make_kernel(unit_k: int, max_m: int, W: int,
-                 costs_t: Tuple[int, int, int, int, bool]):
+                 costs_t: Tuple[int, int, int, int, bool],
+                 dtype: jnp.dtype, inf: int):
     mc, gc, sgc, tc, allow_transpose = costs_t
+    d = dtype
+
+    def _d(v):
+        return jnp.asarray(v, d)
 
     def kernel(a_ref, b_ref, m_ref, n_ref, cfin_ref, out_ref):
         # a_ref: [max_m, LANES]  chars of a (sentinel -1 padded)
         # b_ref: [max_m + W, LANES]  chars of b at sublane offset unit_k
         # m_ref/n_ref/cfin_ref: [1, LANES] per-pair lengths / final lane
         c_iota = lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
+        c_iota_d = c_iota.astype(d)
         n_row = n_ref[0:1, :]  # [1, LANES]
         m_row = m_ref[0:1, :]
         cfin = cfin_ref[0:1, :]
 
         j0 = c_iota - unit_k
-        dp1_init = jnp.where(
-            (j0 >= 0) & (j0 <= n_row),
-            j0 * gc + jnp.where(j0 > 0, sgc, 0),
-            INF,
-        )
-        res0 = jnp.min(
-            jnp.where((c_iota == cfin) & (m_row == 0), dp1_init, INF),
-            axis=0,
-            keepdims=True,
-        )
-        inf_tile = jnp.full((W, LANES), INF, jnp.int32)
+        # init row in int32 (j0*gc may exceed the narrow dtype), then clamp
+        # to the sentinel and narrow
+        dp1_init = jnp.minimum(
+            jnp.where(
+                (j0 >= 0) & (j0 <= n_row),
+                j0 * gc + jnp.where(j0 > 0, sgc, 0),
+                INF,
+            ),
+            inf,
+        ).astype(d)
+        inf_tile = jnp.full((W, LANES), inf, d)
+        # res accumulates band-shaped (Mosaic has no sub-int32 reductions;
+        # a single int32 reduction happens after the loop instead)
+        res0 = jnp.where(m_row == 0, dp1_init, inf_tile)
 
         def body(i, carry):
             dp0, dp1, bgap, res = carry
@@ -98,11 +149,15 @@ def _make_kernel(unit_k: int, max_m: int, W: int,
             j = i + c_iota - unit_k
             valid = (j >= 0) & (j <= n_row)
 
-            sub = dp1 + jnp.where(a_char == bwin, 0, mc)
+            sub = dp1 + jnp.where(a_char == bwin, _d(0), _d(mc))
 
-            dp1_up = _shift_up(dp1, c_iota, W)
-            bgap_up = _shift_up(bgap, c_iota, W)
-            bgap2 = jnp.minimum(dp1_up + (sgc + gc), bgap_up + gc)
+            dp1_up = _shift_up(dp1, c_iota, W, _d(inf))
+            bgap_up = _shift_up(bgap, c_iota, W, _d(inf))
+            # clamp before carry: keeps saturated lanes from creeping past
+            # the dtype over many rows (the reference's saturating adds)
+            bgap2 = jnp.minimum(
+                jnp.minimum(dp1_up + _d(sgc + gc), bgap_up + _d(gc)), _d(inf)
+            )
 
             dprime = jnp.minimum(sub, bgap2)
             if allow_transpose:
@@ -112,41 +167,40 @@ def _make_kernel(unit_k: int, max_m: int, W: int,
                 tcond = (
                     (i > 1) & (j > 1) & (a_char == bwin2) & (a_prev == bwin)
                 )
-                trans = jnp.where(tcond, dp0 + tc, INF)
+                trans = jnp.where(tcond, dp0 + _d(tc), _d(inf))
                 dprime = jnp.minimum(dprime, trans)
 
-            dprime = jnp.where(valid, jnp.minimum(dprime, INF), INF)
+            dprime = jnp.where(valid, jnp.minimum(dprime, _d(inf)), _d(inf))
 
-            g = dprime - c_iota * gc
-            mins = _cummin_sublanes(g, c_iota, W)
+            g = dprime - c_iota_d * _d(gc)
+            mins = _cummin_sublanes(g, c_iota, W, _d(inf))
             mins_prev = jnp.where(
-                c_iota == 0, INF, pltpu.roll(mins, shift=1, axis=0)
+                c_iota == 0, _d(inf), pltpu.roll(mins, shift=1, axis=0)
             )
-            e = jnp.minimum(sgc + c_iota * gc + mins_prev, INF)
+            e = jnp.minimum(_d(sgc) + c_iota_d * _d(gc) + mins_prev, _d(inf))
 
             dp2 = jnp.minimum(jnp.minimum(sub, e), bgap2)
             if allow_transpose:
                 dp2 = jnp.minimum(dp2, trans)
-            dp2 = jnp.where(valid, jnp.minimum(dp2, INF), INF)
+            dp2 = jnp.where(valid, jnp.minimum(dp2, _d(inf)), _d(inf))
 
-            cap = jnp.min(
-                jnp.where((c_iota == cfin) & (i == m_row), dp2, INF),
-                axis=0,
-                keepdims=True,
-            )
-            res = jnp.minimum(res, cap)
+            res = jnp.where(i == m_row, dp2, res)
             return (dp1, dp2, bgap2, res)
 
         carry = (inf_tile, dp1_init, inf_tile, res0)
         _, _, _, res = lax.fori_loop(1, max_m + 1, body, carry)
-        out_ref[0:1, :] = res
+        out_ref[0:1, :] = jnp.min(
+            jnp.where(c_iota == cfin, res, _d(inf)).astype(jnp.int32),
+            axis=0,
+            keepdims=True,
+        )
 
     return kernel
 
 
 @partial(
     jax.jit,
-    static_argnames=("unit_k", "max_m", "costs_t", "interpret"),
+    static_argnames=("unit_k", "max_m", "costs_t", "band_dtype", "interpret"),
 )
 def band_distance_pallas(
     a_t: jnp.ndarray,  # [max_m, B] int32, transposed a chars
@@ -158,20 +212,36 @@ def band_distance_pallas(
     unit_k: int,
     max_m: int,
     costs_t: Tuple[int, int, int, int, bool],
+    band_dtype: str = "int32",
     interpret: bool = False,
 ):
     """Banded distance for a [B] batch; B must be a multiple of 128.
 
-    Returns dist [1, B] int32 (INF-flavored where the final cell was never
-    reached).  The grid runs one 128-pair block per step; Mosaic pipelines
-    the HBM->VMEM input DMAs across steps.
+    Returns dist [1, B] int32.  Distances above the dtype's inf sentinel
+    saturate there (the caller turns values > max_k into None; the
+    sentinel is guaranteed > max_k by select_band_dtype).  The grid runs
+    one 128-pair block per step; Mosaic pipelines the HBM->VMEM input
+    DMAs across steps.
     """
     W = 2 * unit_k + 1
     B = a_t.shape[1]
     assert B % LANES == 0, "batch must be padded to a multiple of 128"
     grid = (B // LANES,)
 
-    kernel = _make_kernel(unit_k, max_m, W, costs_t)
+    dtype = jnp.dtype(band_dtype)
+    if band_dtype == "int32":
+        inf = int(INF)
+    else:
+        name, inf = select_band_dtype(0, unit_k, costs_t)
+        assert jnp.dtype(name).itemsize <= dtype.itemsize, (
+            f"requested {band_dtype} but costs/band need at least {name}"
+        )
+        if name != band_dtype:  # wider than minimal: recompute headroom
+            mc, gc, sgc, tc, _ = costs_t
+            slack = max(mc, sgc + gc, tc, gc, sgc + (W - 1) * gc)
+            inf = int(jnp.iinfo(dtype).max) - slack
+
+    kernel = _make_kernel(unit_k, max_m, W, costs_t, dtype, inf)
     out = pl.pallas_call(
         kernel,
         grid=grid,
