@@ -1,7 +1,7 @@
 """Headline benchmark: banded Levenshtein distance throughput on one chip.
 
-Workload follows BASELINE.md: 1000-byte string pairs, k = 32, the Pallas
-banded wavefront kernel (the framework's native layer).  Batch-sized for
+Workload follows BASELINE.md: 1000-byte string pairs, k = 32, the
+bit-parallel banded Myers Pallas kernel (the framework's native layer).  Batch-sized for
 the TPU and measured with pipelined dispatch (several batches in flight,
 one sync) — the production serving pattern — plus a strict synchronous
 round-trip number on stderr.  Prints ONE JSON line:
@@ -27,17 +27,15 @@ def main():
     import jax
 
     from triple_accel_tpu.oracle.levenshtein import levenshtein_naive_k_with_opts
-    from triple_accel_tpu.ops.pallas.lev_band import (
-        band_distance_pallas,
-        prepare_pallas_inputs,
+    from triple_accel_tpu.ops.pallas.lev_myers import (
+        myers_distance_pallas,
+        prepare_myers_inputs,
     )
 
     STR_LEN = 1000
     K = 32
-    UNIT_K = 32  # band for k=32, unit costs
     MAX_M = 1024
     B = int(os.environ.get("BENCH_BATCH", "16384"))
-    COSTS_T = (1, 1, 0, 0, False)
     on_tpu = jax.default_backend() == "tpu"
 
     rng = np.random.default_rng(1234)
@@ -51,23 +49,19 @@ def main():
     a_list = [rng.integers(33, 127, STR_LEN).astype(np.uint8) for _ in range(B)]
     b_list = [mutate(a, K // 2) for a in a_list]
 
-    args = [
-        jax.device_put(x)
-        for x in prepare_pallas_inputs(a_list, b_list, UNIT_K, MAX_M)
-    ]
+    *args, decode = prepare_myers_inputs(a_list, b_list, K, MAX_M)
+    args = [jax.device_put(x) for x in args]
 
     def run():
-        return band_distance_pallas(
-            *args,
-            unit_k=UNIT_K,
-            max_m=MAX_M,
-            costs_t=COSTS_T,
-            interpret=not on_tpu,
+        # the dispatcher's unit-cost fast path: bit-parallel Myers kernel
+        # (ops/pallas/lev_myers.py); levenshtein_k_batch routes here too
+        return myers_distance_pallas(
+            *args, k=K, max_m=MAX_M, interpret=not on_tpu
         )
 
     # warmup/compile
     d = run()
-    dist_host = np.asarray(d)[0]
+    dist_host = decode(d)
 
     # synchronous round trip (includes per-call dispatch latency)
     ts = []
@@ -77,14 +71,23 @@ def main():
         ts.append(time.perf_counter() - t0)
     sync_pairs_per_sec = B / min(ts)
 
-    # pipelined: several batches in flight, sync once (serving pattern)
-    reps = 6
+    # pipelined: several batches in flight, one sync barrier, then fetch
+    # every result (the serving pattern; per-batch blocking would charge
+    # the host<->device round-trip latency to every batch)
+    reps = 8
+    import jax.numpy as jnp
+
+    # compile the stack+fetch path outside the timed region
+    np.asarray(jnp.stack([run() for _ in range(reps)]))
+
     t0 = time.perf_counter()
     outs = [run() for _ in range(reps)]
-    for o in outs:
-        o.block_until_ready()
-    np.asarray(outs[-1])
+    # one device-side stack + one fetch: per-array host reads would charge
+    # the tunnel's ~17ms round-trip latency to every batch, which measures
+    # the test harness's HTTP tunnel rather than the chip
+    hosts = np.asarray(jnp.stack(outs))
     dt = time.perf_counter() - t0
+    assert hosts.shape[0] == reps
     tpu_pairs_per_sec = B * reps / dt
 
     # correctness spot check + scalar CPU baseline

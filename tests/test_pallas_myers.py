@@ -1,0 +1,130 @@
+"""Bit-parallel Myers kernel conformance (interpret mode on the CPU mesh).
+
+The kernel encodes the boundary conventions validated by the bigint
+prototypes (see ops/pallas/lev_myers.py docstring): asymmetric k+1 band,
++1 shifted-in out-of-band deltas, forced virtual-column deltas, left-edge
+anchor scoring.  These tests differentially check every (NW, SG, G) plan
+shape against the scalar oracle, plus the dispatcher integration.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from triple_accel_tpu.oracle import levenshtein_naive_k_with_opts
+from triple_accel_tpu.ops.pallas.lev_myers import (
+    myers_distance_pallas,
+    myers_plan,
+    prepare_myers_inputs,
+)
+
+
+def _mutated_corpus(rng, n_pairs, max_m, k):
+    a_list, b_list, exp = [], [], []
+    while len(a_list) < n_pairs:
+        m = int(rng.integers(0, max_m))
+        a = rng.integers(65, 70, m).astype(np.uint8)
+        b = list(a)
+        for _ in range(int(rng.integers(0, 10))):
+            op = rng.integers(0, 3)
+            if op == 0 and b:
+                b[rng.integers(0, len(b))] = rng.integers(65, 70)
+            elif op == 1 and len(b) < max_m - 1:
+                b.insert(int(rng.integers(0, len(b) + 1)),
+                         int(rng.integers(65, 70)))
+            elif op == 2 and b:
+                del b[rng.integers(0, len(b))]
+        b = np.array(b, dtype=np.uint8)
+        if len(a) > len(b):
+            a, b = b, a
+        if len(b) - len(a) > k or len(a) > max_m:
+            continue
+        a_list.append(a)
+        b_list.append(b)
+        exp.append(levenshtein_naive_k_with_opts(a, b, 10**9, False)[0])
+    return a_list, b_list, exp
+
+
+@pytest.mark.parametrize(
+    "k,max_m",
+    [(4, 16), (16, 48), (32, 64), (48, 64), (96, 48), (159, 32)],
+)
+def test_myers_kernel_matches_oracle(k, max_m):
+    """Covers every grouping plan: G=8 (NW=1), G=4 (NW=2), G=2 (NW 3-4),
+    G=1 (NW 5-8)."""
+    assert myers_plan(k) is not None
+    rng = np.random.default_rng(100 + k)
+    a_list, b_list, exp = _mutated_corpus(rng, 60, max_m, k)
+    *args, decode = prepare_myers_inputs(a_list, b_list, k, max_m)
+    dist = decode(
+        myers_distance_pallas(*args, k=k, max_m=max_m, interpret=True)
+    )
+    for p, e in enumerate(exp):
+        got = int(dist[p])
+        if e <= k:
+            assert got == e, f"pair {p}: {got} != {e} (k={k})"
+        else:
+            assert got > k, f"pair {p}: false accept {got} <= {k} < {e}"
+
+
+def test_myers_plan_limits():
+    assert myers_plan(19) == (1, 1, 8, 20)
+    assert myers_plan(32) == (2, 2, 4, 40)
+    assert myers_plan(79) == (4, 4, 2, 80)
+    assert myers_plan(159) == (8, 8, 1, 160)
+    assert myers_plan(160) is None  # falls back to the general band kernel
+
+
+def test_myers_empty_and_edge_pairs():
+    cases = [
+        (b"", b""),
+        (b"", b"abc"),
+        (b"a", b"a"),
+        (b"a", b"b"),
+        (b"ab", b"ba"),
+        (b"x" * 30, b"x" * 33),
+    ]
+    k, max_m = 8, 32
+    a_list = [np.frombuffer(a, dtype=np.uint8) for a, _ in cases]
+    b_list = [np.frombuffer(b, dtype=np.uint8) for _, b in cases]
+    exp = [
+        levenshtein_naive_k_with_opts(a, b, 10**9, False)[0]
+        for a, b in zip(a_list, b_list)
+    ]
+    *args, decode = prepare_myers_inputs(a_list, b_list, k, max_m)
+    dist = decode(
+        myers_distance_pallas(*args, k=k, max_m=max_m, interpret=True)
+    )
+    for p, e in enumerate(exp):
+        assert int(dist[p]) == e, (cases[p], int(dist[p]), e)
+
+
+def test_dispatch_myers_equals_band_kernel():
+    """levenshtein_k_batch: the myers path (default for unit costs under
+    pallas) must equal the forced general band kernel result."""
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+
+    rng = np.random.default_rng(0)
+    a_list, b_list = [], []
+    for _ in range(40):
+        ln = int(rng.integers(0, 60))
+        a = rng.integers(33, 127, ln).astype(np.uint8)
+        b = a.copy()
+        if ln:
+            b[rng.integers(0, ln, 3)] = 33
+        if rng.integers(0, 2) and ln > 6:
+            b = np.delete(b, rng.integers(0, len(b), 3))
+        a_list.append(a)
+        b_list.append(b)
+
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        got = levenshtein_k_batch(a_list, b_list, 12)
+    finally:
+        os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas_band"
+    try:
+        ref = levenshtein_k_batch(a_list, b_list, 12)
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+    assert got.tolist() == ref.tolist()

@@ -62,9 +62,11 @@ def select_cost_bucket(max_k: int) -> str:
 
 
 def forced_path() -> str | None:
-    """Backend override from the environment ("oracle" | "scan" | "pallas")."""
+    """Backend override from the environment:
+    "oracle" | "scan" | "pallas" | "pallas_band" (general band kernel,
+    disabling the unit-cost bit-parallel fast path)."""
     v = os.environ.get("TRIPLE_ACCEL_TPU_FORCE_PATH", "").strip().lower()
-    return v if v in ("oracle", "scan", "pallas") else None
+    return v if v in ("oracle", "scan", "pallas", "pallas_band") else None
 
 
 def _debug_enabled() -> bool:

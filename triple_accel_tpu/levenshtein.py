@@ -277,7 +277,7 @@ def _use_pallas() -> bool:
     import jax
 
     fp = forced_path()
-    if fp == "pallas":
+    if fp in ("pallas", "pallas_band"):
         return True
     if fp in ("scan", "oracle"):
         return False
@@ -332,14 +332,58 @@ def levenshtein_k_batch(
     uk_dev = round_up_pow2(unit_k, 4)
     max_m = round_up_pow2(max((len(a) for a in swapped_a), default=1), 8)
     use_pallas = _use_pallas()
+
+    # unit-cost fast path: the bit-parallel Myers kernel (20 DP cells per
+    # int32 lane-element) replaces the general band wavefront whenever the
+    # cost model is LEVENSHTEIN_COSTS and the k+1-wide band fits its word
+    # budget; TRIPLE_ACCEL_TPU_FORCE_PATH=pallas_band opts back out.
+    from .ops.pallas.lev_myers import myers_plan
+
+    k_stat = round_up_pow2(int(max_ks.max(initial=0)), 4)
+    use_myers = (
+        use_pallas
+        and forced_path() != "pallas_band"
+        and _costs_tuple(costs) == (1, 1, 0, 0, False)
+        and myers_plan(k_stat) is not None
+    )
+
     DispatchDecision(
-        path="pallas" if use_pallas else "scan",
+        path=("myers" if use_myers else "pallas") if use_pallas else "scan",
         cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
         unit_k=uk_dev,
         max_k=int(max_ks.max(initial=0)),
         padded_m=max_m,
         padded_n=B,
     ).log("levenshtein_k_batch")
+
+    if use_myers:
+        import jax
+
+        from .ops.pallas.lev_myers import (
+            myers_distance_pallas,
+            prepare_myers_inputs,
+        )
+
+        empty = np.empty(0, dtype=np.uint8)
+        pairs = [
+            (swapped_a[p], swapped_b[p]) if feasible[p] else (empty, empty)
+            for p in range(B)
+        ]
+        *margs, decode = prepare_myers_inputs(
+            [p_[0] for p_ in pairs],
+            [p_[1] for p_ in pairs],
+            k_stat,
+            max_m,
+            ks=np.where(feasible, max_ks, k_stat),
+        )
+        distm = myers_distance_pallas(
+            *margs,
+            k=k_stat,
+            max_m=max_m,
+            interpret=jax.default_backend() != "tpu",
+        )
+        out = decode(distm).astype(np.int64)
+        return np.where(feasible & (out <= max_ks), out, -1)
 
     if use_pallas:
         import jax

@@ -269,7 +269,9 @@ def prepare_pallas_inputs(a_list, b_list, unit_k: int, max_m: int):
     """Pad a batch (len(a) <= len(b) per pair) into the transposed buffers
     band_distance_pallas expects; pads the batch to a multiple of 128."""
     W = 2 * unit_k + 1
-    B = _round_up(max(len(a_list), 1), LANES)
+    # at least two 128-lane grid blocks — this Mosaic runtime faults the
+    # TPU worker on single-step grids
+    B = max(_round_up(max(len(a_list), 1), LANES), 2 * LANES)
     a_t = np.full((max_m, B), -1, dtype=np.int32)
     b_t = np.full((max_m + W, B), -2, dtype=np.int32)
     m = np.zeros((1, B), dtype=np.int32)

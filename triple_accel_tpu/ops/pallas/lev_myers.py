@@ -1,0 +1,343 @@
+"""Pallas/Mosaic TPU kernel: bit-parallel banded Levenshtein (unit costs).
+
+A Myers-1999-style bit-vector wavefront, row-oriented and banded, re-designed
+for the TPU VPU.  This is the fast path behind `levenshtein*` for
+LEVENSHTEIN_COSTS (the general-cost band kernel lev_band.py is the fallback)
+— the TPU translation of the reference's "SIMD across the band" inner loop
+(reference src/levenshtein.rs:1021-1158) taken one step further than the
+reference itself, which does not use bit-parallelism.
+
+Design (every choice driven by VPU instruction count):
+
+* one string pair per lane; the DP band is a bit-vector of horizontal
+  deltas packed into 20-bit words riding the sublane axis — 20 DP cells
+  per int32 lane-element;
+* **asymmetric k+1 band**: a <=k-cost path satisfies |j-i| + |delta-(j-i)|
+  <= k, so the window spans j-i in [-ukL, +ukR] with ukL = (k-delta)//2,
+  ukR = k - ukL — half the width of the reference's symmetric 2k+1 band
+  (levenshtein.rs:760-763).  ukL is per-lane (delta varies per pair); the
+  window offset is baked into the b buffer layout on the host;
+* **subgroup packing**: NW = ceil((k+1)/20) words occupy a power-of-two
+  subgroup of sublanes, and 8/SG independent pair-blocks share each
+  8-sublane vreg — one VPU instruction advances up to 8x128 pairs;
+* the Eq bitmask packs with ONE small MXU matmul per pair-block against a
+  powers-of-two weight matrix (20-bit words keep the f32 accumulation
+  exact: sums < 2^20 < 2^24);
+* cross-word carries of the Myers add resolve with a masked Kogge-Stone
+  prefix over sublanes; cross-word shifts are one sublane roll;
+* the score is anchored at the window's left edge (A_i = D[i, i-ukL-1],
+  maintained from bit 0 of the horizontal deltas) and the final D[m,n]
+  adds a masked-popcount of row m's deltas — no per-lane mid-window bit
+  extraction anywhere.
+
+Boundary conventions (validated against the scalar oracle by
+tests/test_pallas_myers.py and the bigint prototypes they encode):
+window slides right one column per row; shifted-in out-of-band deltas are
++1 (assumed >= true, so in-band values are exact whenever the true
+distance <= k and never under-estimate otherwise); virtual columns j <= 0
+force both the vertical and the horizontal deltas to +1, keeping the
+left-edge anchor chain consistent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "myers_distance_pallas",
+    "prepare_myers_inputs",
+    "myers_plan",
+    "LANES",
+    "WORD",
+]
+
+LANES = 128
+WORD = 20  # DP cells per int32 word; keeps Eq matmul sums f32-exact
+MW = (1 << WORD) - 1
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def myers_plan(k: int):
+    """(NW words, SG subgroup sublanes, G pair-blocks per vreg, WIN window
+    chars) for threshold k; None if k is too large for this kernel."""
+    W = k + 1
+    NW = -(-W // WORD)
+    if NW > 8:
+        return None
+    SG = 1
+    while SG < NW:
+        SG <<= 1
+    G = 8 // SG
+    WIN = NW * WORD
+    return NW, SG, G, WIN
+
+
+def _make_kernel(k: int, max_m: int):
+    NW, SG, G, WIN = myers_plan(k)
+    Wp = NW * WORD  # padded window bits (extra top bits only widen the band)
+    topw = NW - 1
+    topoff = (Wp - 1) % WORD
+
+    def kernel(a_ref, b_ref, m_ref, dlen_ref, ukl_ref, out_ref):
+        # a_ref:    [G*max_m, LANES]        chars of a per block (-1 padded)
+        # b_ref:    [G*(max_m+WIN), LANES]  chars of b at per-pair offset ukl
+        # m/dlen/ukl_ref: [8, LANES]        per-pair len(a), len(b)-len(a),
+        #     ukL — pre-expanded on the host onto each block's subgroup rows
+        row = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        sub = row & (SG - 1)  # word index within the subgroup
+        ones = jnp.ones((8, LANES), jnp.int32)
+        maskw = jnp.where(sub < NW, MW, 0)
+        top_tile = jnp.where(sub == topw, jnp.int32(1) << topoff, 0)
+        zero = jnp.zeros((8, LANES), jnp.int32)
+
+        m_tile = m_ref[...]
+        ukl_tile = ukl_ref[...]
+        dlen_tile = dlen_ref[...]
+
+        def bnot(x):
+            return x ^ maskw
+
+        if SG > 1:
+            def roll_up(x, d):  # word w <- word w+d within each subgroup
+                return jnp.where(sub >= SG - d, 0, pltpu.roll(x, 8 - d, axis=0))
+
+            def roll_down(x, d):  # word w <- word w-d within each subgroup
+                return jnp.where(sub < d, 0, pltpu.roll(x, d, axis=0))
+        else:
+            def roll_up(x, d):
+                return zero
+
+            def roll_down(x, d):
+                return zero
+
+        def shr1(x, top_in):  # vector >>1 per block; top_in fills bit Wp-1
+            up = roll_up(x, 1)
+            return ((x >> 1) | ((up & 1) << (WORD - 1))) | top_in
+
+        def shl1(x, bit0):  # vector <<1 per block; bit0 fills bit 0
+            dn = roll_down(x, 1)
+            carry = jnp.where(sub == 0, bit0, (dn >> (WORD - 1)) & 1)
+            return ((x << 1) & maskw) | carry
+
+        def add_words(x, y):  # multi-word add of masked vectors
+            s = x + y
+            if NW == 1:
+                return s & maskw
+            g = s >> WORD
+            c = roll_down(g, 1)
+            if NW > 2:
+                p = jnp.where((s & maskw) == maskw, ones, zero)
+                pp = roll_down(p, 1)
+                d = 1
+                while d < NW - 1:
+                    c = c | (pp & roll_down(c, d))
+                    pp = pp & roll_down(pp, d)
+                    d <<= 1
+            return (s + c) & maskw
+
+        # Eq packing weights (per block u: rows of its subgroup only)
+        wr = lax.broadcasted_iota(jnp.int32, (8, WIN), 0)
+        wc = lax.broadcasted_iota(jnp.int32, (8, WIN), 1)
+
+        def eq_weights(u):
+            t = wc - WORD * (wr - u * SG)
+            return jnp.where(
+                (wr >= u * SG) & (wr < u * SG + NW) & (t >= 0) & (t < WORD),
+                (jnp.int32(1) << jnp.clip(t, 0, WORD - 1)).astype(jnp.float32),
+                0.0,
+            )
+
+        wts = [eq_weights(u) for u in range(G)]
+
+        # virtual-column mask base: bits p <= ukL - i  <->  p < ukL - i + 1
+        vbase = ukl_tile + 1 - WORD * sub
+
+        ph0 = maskw
+        a0 = -ukl_tile - 1  # A_0 = D[0, -ukL-1] (virtual row 0: D[0,j] = j)
+        state0 = (ph0, zero, a0, ph0, zero, a0)
+
+        def make_body(with_virtual: bool):
+            def body(i, state):
+                Ph, Mh, A, rP, rM, rA = state
+                # anchor: A_i = D[i, i-ukL-1] = D[i-1, (i-1)-ukL] + 1
+                A = A + (Ph & 1) - (Mh & 1) + 1
+
+                PhI = shr1(Ph, top_tile)
+                MhI = shr1(Mh, zero)
+
+                Eq_f = jnp.zeros((8, LANES), jnp.float32)
+                for u in range(G):
+                    a_char = a_ref[pl.ds(u * max_m + i - 1, 1), :]
+                    bwin = b_ref[pl.ds(u * (max_m + WIN) + i - 1, WIN), :]
+                    eqf = jnp.where(bwin == a_char, 1.0, 0.0).astype(
+                        jnp.float32
+                    )
+                    Eq_f = Eq_f + jnp.dot(
+                        wts[u], eqf, preferred_element_type=jnp.float32
+                    )
+                Eq = Eq_f.astype(jnp.int32) & maskw
+
+                Xh = Eq | MhI
+                X = (add_words(Eq & PhI, PhI) ^ PhI) | Eq
+                Pv = MhI | bnot(X | PhI)
+                Mv = PhI & X
+                if with_virtual:
+                    # virtual columns j <= 0: force dv = +1 (and dh below)
+                    vbits = jnp.clip(vbase - i, 0, WORD)
+                    vmask = ((jnp.int32(1) << vbits) - 1) & maskw
+                    nvmask = bnot(vmask)
+                    Pv = Pv | vmask
+                    Mv = Mv & nvmask
+
+                PvS = shl1(Pv, 1)
+                MvS = shl1(Mv, 0)
+                Ph = MvS | bnot(Xh | PvS)
+                Mh = PvS & Xh
+                if with_virtual:
+                    Ph = Ph | vmask
+                    Mh = Mh & nvmask
+
+                at_m = i == m_tile
+                rP = jnp.where(at_m, Ph, rP)
+                rM = jnp.where(at_m, Mh, rM)
+                rA = jnp.where(at_m, A, rA)
+                return (Ph, Mh, A, rP, rM, rA)
+
+            return body
+
+        # rows i <= ukL can touch virtual columns (ukL <= k//2); beyond
+        # that the forcing masks are identically zero and are skipped
+        split = min(k // 2 + 1, max_m)
+        state1 = lax.fori_loop(1, split + 1, make_body(True), state0)
+        _, _, _, rP, rM, rA = lax.fori_loop(
+            split + 1, max_m + 1, make_body(False), state1
+        )
+
+        # D[m, n] = A_m + sum of dh[m] bits p in [0, dlen + ukL]
+        hi_b = jnp.clip(dlen_tile + ukl_tile + 1 - WORD * sub, 0, WORD)
+        sel = ((jnp.int32(1) << hi_b) - 1) & maskw
+
+        def popcount(x):
+            x = x - ((x >> 1) & 0x55555555)
+            x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+            x = (x + (x >> 4)) & 0x0F0F0F0F
+            return (x * 0x01010101) >> 24
+
+        pops = popcount(rP & sel) - popcount(rM & sel)
+        # sum each subgroup's words onto its first row
+        acc = pops
+        d = 1
+        while d < SG:
+            acc = acc + roll_up(acc, d)
+            d <<= 1
+        res = rA + acc  # valid at rows u*SG
+        for u in range(G):
+            out_ref[u : u + 1, :] = res[u * SG : u * SG + 1, :]
+
+    return kernel, G, WIN
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_m", "interpret"),
+)
+def myers_distance_pallas(
+    a_t: jnp.ndarray,  # [G*max_m, B/G] int32 (see prepare_myers_inputs)
+    b_t: jnp.ndarray,  # [G*(max_m+WIN), B/G] int32
+    m: jnp.ndarray,  # [8, B/G] int32 len(a), expanded onto subgroup rows
+    dlen: jnp.ndarray,  # [8, B/G] int32 len(b) - len(a), expanded
+    ukl: jnp.ndarray,  # [8, B/G] int32 left band half-width, expanded
+    *,
+    k: int,
+    max_m: int,
+    interpret: bool = False,
+):
+    """Bit-parallel banded unit-cost distance; returns dist [G, B/G] int32
+    (pair p lives at [u, g*128+lane], p = (g*G + u)*128 + lane).
+
+    Exact wherever the true distance <= the pair's threshold (any value
+    <= k with ukl set accordingly); never under-estimates above it.
+    """
+    kernel, G, WIN = _make_kernel(k, max_m)
+    BG = a_t.shape[1]
+    assert BG % LANES == 0
+    grid = (BG // LANES,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G * max_m, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * (max_m + WIN), LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, LANES), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, BG), jnp.int32),
+        interpret=interpret,
+    )(a_t, b_t, m, dlen, ukl)
+
+
+def prepare_myers_inputs(a_list, b_list, k: int, max_m: int, ks=None):
+    """Pack a batch (len(a) <= len(b), len(b)-len(a) <= k_pair per pair)
+    into the grouped buffers myers_distance_pallas expects.
+
+    `ks` optionally gives a per-pair threshold <= k (defaults to k); the
+    pair's band is ukL = (k_pair - delta)//2 columns left and the rest of
+    the padded window right of the diagonal.
+
+    Returns (a_t, b_t, m, dlen, ukl, decode) where decode(dist_GxBG)
+    reorders the kernel output back to pair order [B].
+    """
+    plan = myers_plan(k)
+    assert plan is not None, "k too large for the bit-parallel kernel"
+    NW, SG, G, WIN = plan
+    B = len(a_list)
+    # columns per group row; at least two 128-lane grid blocks — this
+    # Mosaic runtime faults the TPU worker on single-step grids
+    BG = max(_round_up(max(-(-B // G), 1), LANES), 2 * LANES)
+    a_t = np.full((G * max_m, BG), -1, dtype=np.int32)
+    b_t = np.full((G * (max_m + WIN), BG), -2, dtype=np.int32)
+    m = np.zeros((8, BG), dtype=np.int32)
+    dlen = np.zeros((8, BG), dtype=np.int32)
+    ukl = np.zeros((8, BG), dtype=np.int32)
+    for p, (a, b) in enumerate(zip(a_list, b_list)):
+        g, r = divmod(p, G * LANES)
+        u, lane = divmod(r, LANES)
+        col = g * LANES + lane
+        kp = k if ks is None else min(int(ks[p]), k)
+        delta = len(b) - len(a)
+        assert 0 <= delta <= kp <= k and len(a) <= max_m
+        uL = (kp - delta) // 2
+        a_t[u * max_m : u * max_m + len(a), col] = a
+        boff = u * (max_m + WIN) + uL
+        b_t[boff : boff + len(b), col] = b
+        rows = slice(u * SG, u * SG + SG)
+        m[rows, col] = len(a)
+        dlen[rows, col] = delta
+        ukl[rows, col] = uL
+
+    def decode(dist):
+        # dist [G, BG] -> [B] in pair order
+        d = np.asarray(dist).reshape(G, BG // LANES, LANES)
+        d = np.transpose(d, (1, 0, 2)).reshape(-1)
+        return d[:B]
+
+    return a_t, b_t, m, dlen, ukl, decode

@@ -253,7 +253,9 @@ def prepare_search_pallas_inputs(needle: np.ndarray, seg_pad: np.ndarray,
     m = len(needle)
     mP = _round_up(m + 1, 8)
     C0, width0 = seg_pad.shape
-    C = _round_up(C0, LANES)
+    # at least two 128-lane grid blocks — this Mosaic runtime faults the
+    # TPU worker on single-step grids
+    C = max(_round_up(C0, LANES), 2 * LANES)
     width = _round_up(width0, 8)
 
     npad = np.full(mP + 2, -1, dtype=np.int32)
