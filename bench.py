@@ -35,7 +35,7 @@ def main():
     STR_LEN = 1000
     K = 32
     MAX_M = 1024
-    B = int(os.environ.get("BENCH_BATCH", "16384"))
+    B = int(os.environ.get("BENCH_BATCH", "49152"))
     on_tpu = jax.default_backend() == "tpu"
 
     rng = np.random.default_rng(1234)

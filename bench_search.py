@@ -1,0 +1,105 @@
+"""Secondary benchmark: approximate-search throughput (GB/s of haystack).
+
+BASELINE.md's headline metric names both "string pairs/sec/chip" (bench.py)
+and "search GB/s".  Workload: a random haystack with planted mutated
+needles, needle length 24, k = 3 — the bit-parallel Myers search kernel
+computes per-end-position distances on the device and a fused device-side
+reduction returns only the hit count (the streaming-filter serving
+pattern; fetching the full distance array would measure this harness's
+HTTP tunnel, not the chip).
+
+Prints ONE JSON line like bench.py; the driver's headline metric remains
+bench.py's.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ta_tpu_jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    from triple_accel_tpu.ops.pallas.search_myers import (
+        myers_search_pallas,
+        myers_search_plan,
+        prepare_myers_search_inputs,
+        suggest_own_len,
+    )
+    from triple_accel_tpu.ops.search_scan import chunk_haystack, window_span
+
+    NEEDLE_LEN = 24
+    K = 3
+    HAY_MB = int(os.environ.get("BENCH_SEARCH_MB", "64"))
+    N = HAY_MB << 20
+    on_tpu = jax.default_backend() == "tpu"
+
+    rng = np.random.default_rng(1234)
+    needle = rng.integers(97, 123, NEEDLE_LEN).astype(np.uint8)
+    hay = rng.integers(65, 91, N).astype(np.uint8)
+    for pos in rng.integers(0, N - NEEDLE_LEN, 64):
+        mut = needle.copy()
+        mut[rng.integers(0, NEEDLE_LEN, 2)] = 97
+        hay[pos : pos + NEEDLE_LEN] = mut
+
+    halo = min(window_span(NEEDLE_LEN, K, 1, 0), N)
+    own_len = suggest_own_len(NEEDLE_LEN, halo)
+    seg_pad, seg_n, seg_off, own_start, seg_len = chunk_haystack(
+        hay, NEEDLE_LEN, halo, own_len
+    )
+    segs = seg_pad[:, NEEDLE_LEN + 1 : NEEDLE_LEN + 1 + seg_len]
+    nchar, seg_t, _ = prepare_myers_search_inputs(needle, segs)
+    width = seg_t.shape[0] // myers_search_plan(NEEDLE_LEN)[2]
+    nchar_d = jax.device_put(nchar)
+    seg_d = jax.device_put(seg_t)
+
+    @jax.jit
+    def run(nc, st):
+        dist = myers_search_pallas(
+            nc,
+            st,
+            needle_len=NEEDLE_LEN,
+            width=width,
+            seg_len=seg_len,
+            anchored=False,
+            interpret=not on_tpu,
+        )
+        return (dist <= K).sum()
+
+    hits0 = int(run(nchar_d, seg_d))
+    assert hits0 >= 64, f"planted matches lost: {hits0}"
+
+    reps = 6
+    np.asarray(jnp.stack([run(nchar_d, seg_d) for _ in range(2)]))
+
+    t0 = time.perf_counter()
+    outs = [run(nchar_d, seg_d) for _ in range(reps)]
+    host = np.asarray(jnp.stack(outs))
+    dt = time.perf_counter() - t0
+    assert host.shape[0] == reps
+    gbps = N * reps / dt / 1e9
+
+    print(
+        json.dumps(
+            {
+                "metric": "levenshtein_search_n24_k3_haystack_bytes_per_sec",
+                "value": round(gbps * 1e9, 1),
+                "unit": "bytes/s",
+                "vs_baseline": round(gbps, 3),
+            }
+        )
+    )
+    print(
+        f"# device={jax.devices()[0]} haystack={HAY_MB}MB reps={reps} "
+        f"{gbps:.3f} GB/s, device hits={hits0}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -128,3 +128,100 @@ def test_dispatch_myers_equals_band_kernel():
     finally:
         del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
     assert got.tolist() == ref.tolist()
+
+
+# ---------------------------------------------------------------------------
+# Bit-parallel search kernel (ops/pallas/search_myers.py)
+# ---------------------------------------------------------------------------
+
+def _stitched_search_dists(needle, hay, k, interpret=True):
+    from triple_accel_tpu.ops.pallas.search_myers import (
+        myers_search_pallas,
+        myers_search_plan,
+        prepare_myers_search_inputs,
+    )
+    from triple_accel_tpu.ops.search_scan import chunk_haystack, window_span
+
+    m, n = len(needle), len(hay)
+    halo = min(window_span(m, k, 1, 0), n)
+    own = 64
+    seg_pad, seg_n, seg_off, own_start, seg_len = chunk_haystack(
+        hay, m, halo, own
+    )
+    segs = seg_pad[:, m + 1 : m + 1 + seg_len]
+    nchar, seg_t, decode = prepare_myers_search_inputs(needle, segs)
+    width = seg_t.shape[0] // myers_search_plan(m)[2]
+    out = myers_search_pallas(
+        nchar, seg_t, needle_len=m, width=width, seg_len=seg_len,
+        anchored=False, interpret=interpret,
+    )
+    dist_seg = decode(out, seg_len)
+    dists = np.full(n + 1, 1 << 30, dtype=np.int64)
+    for c in range(dist_seg.shape[0]):
+        o, s0 = int(own_start[c]), int(seg_off[c])
+        lo = o - s0
+        hi = min(int(seg_n[c]), lo + own)
+        if c == 0:
+            dists[0] = dist_seg[0, 0]
+        g0, g1 = s0 + lo + 1, min(s0 + hi, n)
+        if g1 >= g0:
+            dists[g0 : g1 + 1] = dist_seg[c, lo + 1 : lo + 1 + (g1 - g0 + 1)]
+    return dists
+
+
+@pytest.mark.parametrize("m_lo,m_hi", [(1, 20), (21, 40), (41, 100)])
+def test_myers_search_distances_match_oracle(m_lo, m_hi):
+    from triple_accel_tpu.oracle import levenshtein_search_naive_with_opts
+    from triple_accel_tpu.types import LEVENSHTEIN_COSTS, SearchType
+
+    rng = np.random.default_rng(m_lo)
+    for _ in range(6):
+        m = int(rng.integers(m_lo, m_hi + 1))
+        n = int(rng.integers(0, 300))
+        needle = rng.integers(65, 69, m).astype(np.uint8)
+        hay = rng.integers(65, 69, n).astype(np.uint8)
+        k = m  # every end position emitted by the oracle
+        dists = _stitched_search_dists(needle, hay, k)
+        by_end = {
+            mt.end: mt.k
+            for mt in levenshtein_search_naive_with_opts(
+                needle, hay, k, SearchType.All, LEVENSHTEIN_COSTS, False
+            )
+        }
+        for j in range(n + 1):
+            exp = by_end.get(j)
+            if exp is not None:
+                assert dists[j] == exp, (m, n, j, dists[j], exp)
+
+
+@pytest.mark.parametrize("search_type_name", ["Best", "All"])
+def test_myers_search_public_api_matches_oracle(search_type_name):
+    """levenshtein_search_simd_with_opts routed through the Myers search
+    kernel (forced pallas on CPU = interpret mode) must equal the oracle,
+    including the maximize-length tie-break recovered per hit."""
+    from triple_accel_tpu.levenshtein import levenshtein_search_simd_with_opts
+    from triple_accel_tpu.oracle import levenshtein_search_naive_with_opts
+    from triple_accel_tpu.types import LEVENSHTEIN_COSTS, SearchType
+
+    st = SearchType[search_type_name]
+    rng = np.random.default_rng(7)
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        for trial in range(12):
+            m = int(rng.integers(1, 24))
+            n = int(rng.integers(0, 220))
+            needle = rng.integers(65, 70, m).astype(np.uint8)
+            hay = rng.integers(65, 70, n).astype(np.uint8)
+            if n > m and rng.integers(0, 2):
+                pos = int(rng.integers(0, n - m))
+                hay[pos : pos + m] = needle  # plant an exact match
+            k = int(rng.integers(0, max(m // 2, 1) + 1))
+            got = levenshtein_search_simd_with_opts(
+                needle, hay, k, st, LEVENSHTEIN_COSTS, False
+            )
+            exp = levenshtein_search_naive_with_opts(
+                needle, hay, k, st, LEVENSHTEIN_COSTS, False
+            )
+            assert got == exp, (trial, m, n, k, got[:5], exp[:5])
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]

@@ -57,6 +57,9 @@ def hamming_simd_parallel(a: BytesLike, b: BytesLike) -> int:
 
     The name is kept for API parity; on TPU this is a single fused XLA
     reduction rather than the reference's 255-block SIMD accumulate.
+
+    >>> hamming_simd_parallel(b"abc", b"abd")
+    1
     """
     a = to_bytes_array(a)
     b = to_bytes_array(b)
@@ -77,7 +80,11 @@ def hamming_simd_movemask(a: BytesLike, b: BytesLike) -> int:
 
 
 def hamming(a: BytesLike, b: BytesLike) -> int:
-    """Hamming distance via the best available path (reference hamming.rs:390)."""
+    """Hamming distance via the best available path (reference hamming.rs:390).
+
+    >>> hamming(b"abc", b"abd")
+    1
+    """
     return hamming_simd_parallel(a, b)
 
 
@@ -181,5 +188,9 @@ def hamming_search_simd(needle: BytesLike, haystack: BytesLike) -> List[Match]:
 
 
 def hamming_search(needle: BytesLike, haystack: BytesLike) -> List[Match]:
-    """Blessed search entry point (reference hamming.rs:588-590)."""
+    """Blessed search entry point (reference hamming.rs:588-590).
+
+    >>> hamming_search(b"abc", b"  abd") == [Match(start=2, end=5, k=1)]
+    True
+    """
     return hamming_search_simd(needle, haystack)

@@ -103,7 +103,11 @@ def translate_str(chars: List[str], s: str) -> Optional[np.ndarray]:
 
 def levenstein_naive_str(a: str, b: str) -> int:
     """Unicode scalar distance (sic — typo preserved from the reference,
-    levenshtein.rs:123-127)."""
+    levenshtein.rs:123-127).
+
+    >>> levenstein_naive_str("abc", "ab")
+    1
+    """
     chars: List[str] = []
     a_t = translate_str(chars, a)
     b_t = translate_str(chars, b)
@@ -115,7 +119,11 @@ def levenstein_naive_str(a: str, b: str) -> int:
 
 
 def levenshtein_simd_k_str(a: str, b: str, k: int) -> Optional[int]:
-    """Unicode banded distance (reference levenshtein.rs:641-651)."""
+    """Unicode banded distance (reference levenshtein.rs:641-651).
+
+    >>> levenshtein_simd_k_str("abc", "ab", 1)
+    1
+    """
     if a.isascii() and b.isascii():
         return levenshtein_simd_k(a.encode(), b.encode(), k)
     chars: List[str] = []
@@ -214,13 +222,23 @@ def levenshtein_simd_k_with_opts(
 
 
 def levenshtein_simd_k(a: BytesLike, b: BytesLike, k: int) -> Optional[int]:
-    """Banded distance (reference levenshtein.rs:677-684)."""
+    """Banded distance (reference levenshtein.rs:677-684).
+
+    >>> levenshtein_simd_k(b"abc", b"ab", 1)
+    1
+    >>> levenshtein_simd_k(b"abc", b"", 1) is None
+    True
+    """
     res = levenshtein_simd_k_with_opts(a, b, k, False, LEVENSHTEIN_COSTS)
     return None if res is None else res[0]
 
 
 def levenshtein(a: BytesLike, b: BytesLike) -> int:
-    """Exact Levenshtein distance (reference levenshtein.rs:1397-1399)."""
+    """Exact Levenshtein distance (reference levenshtein.rs:1397-1399).
+
+    >>> levenshtein(b"abc", b"ab")
+    1
+    """
     res = levenshtein_simd_k(a, b, U32_MAX)
     assert res is not None
     return res
@@ -228,7 +246,11 @@ def levenshtein(a: BytesLike, b: BytesLike) -> int:
 
 def rdamerau(a: BytesLike, b: BytesLike) -> int:
     """Exact restricted Damerau-Levenshtein distance
-    (reference levenshtein.rs:1419-1423)."""
+    (reference levenshtein.rs:1419-1423).
+
+    >>> rdamerau(b"abc", b"acb")
+    1
+    """
     res = levenshtein_simd_k_with_opts(a, b, U32_MAX, False, RDAMERAU_COSTS)
     assert res is not None
     return res[0]
@@ -236,7 +258,11 @@ def rdamerau(a: BytesLike, b: BytesLike) -> int:
 
 def levenshtein_exp(a: BytesLike, b: BytesLike) -> int:
     """Distance via exponential threshold search — much faster when the
-    edit count is small (reference levenshtein.rs:1445-1454)."""
+    edit count is small (reference levenshtein.rs:1445-1454).
+
+    >>> levenshtein_exp(b"abc", b"ab")
+    1
+    """
     k = 30
     while True:
         res = levenshtein_simd_k(a, b, k)
@@ -263,7 +289,11 @@ def levenshtein_exp_with_opts(
 
 def rdamerau_exp(a: BytesLike, b: BytesLike) -> int:
     """Exponential-search rdamerau distance (reference levenshtein.rs:
-    1516-1526)."""
+    1516-1526).
+
+    >>> rdamerau_exp(b"abc", b"acb")
+    1
+    """
     k = 30
     while True:
         res = levenshtein_simd_k_with_opts(a, b, k, False, RDAMERAU_COSTS)
@@ -511,6 +541,37 @@ def _empty_needle_matches(
     return res
 
 
+def _lengths_for_hits(
+    needle: np.ndarray,
+    haystack: np.ndarray,
+    dists: np.ndarray,
+    k: int,
+    costs: EditCosts,
+) -> np.ndarray:
+    """Recover the reference's maximize-length tie-break (jewel.rs:364-417)
+    at the sparse end positions where dist <= k, by replaying the scalar
+    oracle on a window no larger than the maximal match span.  Exact: the
+    oracle IS the tie-break semantics, and a cost-<=k match spans at most
+    window_span chars, so the window always contains the full match."""
+    from .ops.search_scan import window_span
+
+    m = len(needle)
+    span = min(
+        window_span(m, k, costs.gap_cost, costs.start_gap_cost), len(haystack)
+    )
+    lengths = np.zeros(len(dists), dtype=np.int64)
+    for j in np.flatnonzero(dists <= k):
+        w0 = max(0, int(j) - span)
+        window = haystack[w0 : int(j)]
+        for mt in levenshtein_search_naive_with_opts(
+            needle, window, k, SearchType.All, costs, False
+        ):
+            if mt.end == int(j) - w0:
+                lengths[j] = mt.end - mt.start
+                break
+    return lengths
+
+
 def levenshtein_search_simd_with_opts(
     needle: BytesLike,
     haystack: BytesLike,
@@ -554,6 +615,75 @@ def levenshtein_search_simd_with_opts(
     halo = 0 if anchored else min(window_span(m, k, costs.gap_cost,
                                                costs.start_gap_cost), n)
     use_pallas = _use_pallas()
+
+    # unit-cost, unanchored fast path: bit-parallel Myers search kernel for
+    # the distances; lengths recovered per hit from the oracle.  Dense hit
+    # streams (low-complexity text) fall through to the general engine,
+    # whose DP tracks lengths inline.
+    from .ops.pallas.search_myers import myers_search_plan
+
+    msplan = myers_search_plan(m)
+    if (
+        use_pallas
+        and forced_path() != "pallas_band"
+        and not anchored
+        and _costs_tuple(costs) == (1, 1, 0, 0, False)
+        and msplan is not None
+        and iter_len > 0
+    ):
+        import jax
+
+        from .ops.pallas.search_myers import (
+            myers_search_pallas,
+            prepare_myers_search_inputs,
+            suggest_own_len,
+        )
+
+        own_len = min(suggest_own_len(m, halo), round_up_pow2(iter_len, 128))
+        seg_pad, seg_n, seg_off, own_start, seg_len = chunk_haystack(
+            haystack[:iter_len], m, halo, own_len
+        )
+        segs = seg_pad[:, m + 1 : m + 1 + seg_len]
+        nchar, seg_t, decode = prepare_myers_search_inputs(needle, segs)
+        width = seg_t.shape[0] // msplan[2]
+        DispatchDecision(
+            path="myers_search",
+            cost_bucket="u8",
+            unit_k=halo,
+            max_k=k,
+            padded_m=m,
+            padded_n=seg_len,
+        ).log("levenshtein_search_simd_with_opts")
+        out = myers_search_pallas(
+            nchar,
+            jax.device_put(seg_t),
+            needle_len=m,
+            width=width,
+            seg_len=seg_len,
+            anchored=False,
+            interpret=jax.default_backend() != "tpu",
+        )
+        dist_seg = decode(out, seg_len).astype(np.int64)
+        C = dist_seg.shape[0]
+        dists = np.full(iter_len + 1, np.int64(1) << 40, dtype=np.int64)
+        for c in range(C):
+            o = int(own_start[c])
+            s0 = int(seg_off[c])
+            lo_local = o - s0
+            hi_local = min(int(seg_n[c]), lo_local + own_len)
+            if c == 0:
+                dists[0] = dist_seg[0, 0]
+            g0 = s0 + lo_local + 1
+            g1 = min(s0 + hi_local, iter_len)
+            if g1 >= g0:
+                dists[g0 : g1 + 1] = dist_seg[
+                    c, lo_local + 1 : lo_local + 1 + (g1 - g0 + 1)
+                ]
+        n_hits = int((dists <= k).sum())
+        if n_hits <= max(512, (iter_len + 1) // 64):
+            lengths = _lengths_for_hits(needle, haystack, dists, k, costs)
+            return postprocess_matches(dists, lengths, k, search_type)
+        # dense hits: fall through to the length-tracking engine below
     effective_n = iter_len
     # the Pallas path favors many 128-lane chunks; the scan path favors
     # fewer, longer segments (its per-step work is already batched)
@@ -645,5 +775,9 @@ def levenshtein_search_simd(needle: BytesLike, haystack: BytesLike) -> List[Matc
 
 
 def levenshtein_search(needle: BytesLike, haystack: BytesLike) -> List[Match]:
-    """Blessed search entry point (reference levenshtein.rs:2508-2510)."""
+    """Blessed search entry point (reference levenshtein.rs:2508-2510).
+
+    >>> levenshtein_search(b"abc", b"  abd") == [Match(start=2, end=5, k=1)]
+    True
+    """
     return levenshtein_search_simd(needle, haystack)

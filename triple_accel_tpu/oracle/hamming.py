@@ -35,7 +35,11 @@ def default_hamming_k(needle_len: int) -> int:
 
 
 def hamming_naive(a: BytesLike, b: BytesLike) -> int:
-    """Mismatch count between equal-length strings (reference hamming.rs:36-47)."""
+    """Mismatch count between equal-length strings (reference hamming.rs:36-47).
+
+    >>> hamming_naive(b"abc", b"abd")
+    1
+    """
     a = to_bytes_array(a)
     b = to_bytes_array(b)
     if len(a) != len(b):
@@ -71,12 +75,20 @@ def _hamming_words(a: BytesLike, b: BytesLike, word_bytes: int) -> int:
 
 
 def hamming_words_64(a: BytesLike, b: BytesLike) -> int:
-    """64-bit word-wise Hamming distance (reference hamming.rs:176-219)."""
+    """64-bit word-wise Hamming distance (reference hamming.rs:176-219).
+
+    >>> hamming_words_64(b"abc", b"abd")
+    1
+    """
     return _hamming_words(a, b, 8)
 
 
 def hamming_words_128(a: BytesLike, b: BytesLike) -> int:
-    """128-bit word-wise Hamming distance (reference hamming.rs:249-292)."""
+    """128-bit word-wise Hamming distance (reference hamming.rs:249-292).
+
+    >>> hamming_words_128(b"abc", b"abd")
+    1
+    """
     return _hamming_words(a, b, 16)
 
 

@@ -203,7 +203,11 @@ def levenshtein_naive_with_opts(
 
 
 def levenshtein_naive(a: BytesLike, b: BytesLike) -> int:
-    """Unit-cost Levenshtein distance (reference levenshtein.rs:105-107)."""
+    """Unit-cost Levenshtein distance (reference levenshtein.rs:105-107).
+
+    >>> levenshtein_naive(b"abc", b"ab")
+    1
+    """
     return levenshtein_naive_with_opts(a, b, False, LEVENSHTEIN_COSTS)[0]
 
 
