@@ -119,21 +119,6 @@ def hamming_batch(
     return np.asarray(out)
 
 
-def _search_counts_device(needle: np.ndarray, haystack: np.ndarray) -> np.ndarray:
-    """Mismatch counts for every window position via the device kernel."""
-    from .ops.hamming_ops import hamming_search_counts
-
-    m = len(needle)
-    n = len(haystack)
-    P = round_up_pow2(n + 1, 16)
-    hay_pad = np.full(P, -1, dtype=np.int32)
-    hay_pad[:n] = haystack
-    counts = hamming_search_counts(
-        needle.astype(np.int32), hay_pad, np.int32(n), needle_len=m
-    )
-    return np.asarray(counts)[: n + 1 - m]
-
-
 def hamming_search_simd_with_opts(
     needle: BytesLike,
     haystack: BytesLike,
@@ -154,26 +139,47 @@ def hamming_search_simd_with_opts(
     if forced_path() == "oracle":
         return hamming_search_naive_with_opts(needle, haystack, k, search_type)
 
-    counts = _search_counts_device(needle, haystack)
     m = len(needle)
-
-    from .utils.native import postprocess_hamming_native
-
-    native = postprocess_hamming_native(
-        counts, m, k, search_type == SearchType.Best
+    n = len(haystack)
+    # two-phase hit fetch: the device computes per-position counts and
+    # per-block minima; the host fetches the tiny minima, then only the
+    # blocks that can contain hits (the full count array is 4 bytes per
+    # haystack byte — on slow host links that fetch dominates everything)
+    from .ops.hamming_ops import (
+        BLOCK,
+        hamming_gather_blocks,
+        hamming_search_block_mins,
     )
-    if native is not None:
-        return native
+
+    P = round_up_pow2(n + 1, BLOCK)
+    hay_pad = np.zeros(P, dtype=np.uint8)
+    hay_pad[:n] = haystack
+    counts_d, mins_d = hamming_search_block_mins(
+        needle, hay_pad, np.int32(n), needle_len=m
+    )
+    mins = np.asarray(mins_d)
+    kk = min(k, m)
+    cand = np.flatnonzero(mins <= kk)
 
     res: List[Match] = []
     curr_k = k
-    hits = np.flatnonzero(counts <= min(k, m))
-    for i in hits:
-        c = int(counts[i])
-        if c <= curr_k:
-            if search_type == SearchType.Best:
-                curr_k = c
-            res.append(Match(start=int(i), end=int(i) + m, k=c))
+    if cand.size:
+        # pad candidate count to a pow2 bucket to bound recompiles
+        padded = np.empty(round_up_pow2(cand.size, 8), dtype=np.int32)
+        padded[: cand.size] = cand
+        padded[cand.size :] = cand[-1]
+        blocks = np.asarray(hamming_gather_blocks(counts_d, padded))
+        for bi, blk in zip(cand, blocks[: cand.size]):
+            base = int(bi) * BLOCK
+            for off in np.flatnonzero(blk <= kk):
+                c = int(blk[off])
+                if c <= curr_k:
+                    if search_type == SearchType.Best:
+                        curr_k = c
+                    res.append(
+                        Match(start=base + int(off), end=base + int(off) + m,
+                              k=c)
+                    )
     if search_type == SearchType.Best:
         return [mt for mt in res if mt.k == curr_k]
     return res

@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["hamming_kernel", "hamming_search_counts"]
+__all__ = [
+    "hamming_kernel",
+    "hamming_search_counts",
+    "hamming_search_block_mins",
+    "hamming_gather_blocks",
+    "BLOCK",
+]
 
 
 @partial(jax.jit, static_argnames=())
@@ -67,3 +73,43 @@ def hamming_search_counts(
     counts = lax.fori_loop(0, m, body, jnp.zeros((P,), jnp.int32))
     idx = jnp.arange(P, dtype=jnp.int32)
     return jnp.where(idx <= n - m, counts, jnp.int32(m + 1 + (1 << 20)))
+
+
+BLOCK = 512  # positions per candidate block in the two-phase hit fetch
+
+
+@partial(jax.jit, static_argnames=("needle_len",))
+def hamming_search_block_mins(
+    needle: jnp.ndarray,  # [needle_len] uint8/int32
+    haystack: jnp.ndarray,  # [P] same dtype, P % BLOCK == 0, padded past n
+    n: jnp.ndarray,  # scalar int32: true haystack length
+    *,
+    needle_len: int,
+):
+    """Phase 1 of the two-phase hit fetch: per-position counts (left in
+    device memory) plus per-BLOCK minima (tiny, fetched by the host to
+    locate candidate blocks).  Fetching per-position counts costs 4 bytes
+    per haystack byte — on slow host links that fetch, not the compute,
+    dominates; device-side `nonzero` compaction is far slower still on TPU
+    (sort-based lowering), hence block minima."""
+    P = haystack.shape[0]
+    m = needle_len
+    hay_ext = jnp.concatenate(
+        [haystack, jnp.zeros((m,), haystack.dtype)]
+    )
+
+    def body(j, acc):
+        shifted = lax.dynamic_slice_in_dim(hay_ext, j, P)
+        return acc + jnp.where(shifted != needle[j], 1, 0).astype(jnp.int32)
+
+    counts = lax.fori_loop(0, m, body, jnp.zeros((P,), jnp.int32))
+    idx = jnp.arange(P, dtype=jnp.int32)
+    counts = jnp.where(idx <= n - m, counts, jnp.int32(m + 1 + (1 << 20)))
+    mins = jnp.min(counts.reshape(-1, BLOCK), axis=1)
+    return counts, mins
+
+
+@partial(jax.jit, static_argnames=())
+def hamming_gather_blocks(counts: jnp.ndarray, block_idx: jnp.ndarray):
+    """Phase 2: fetch only the BLOCK-sized slices that contain hits."""
+    return counts.reshape(-1, BLOCK)[block_idx]
