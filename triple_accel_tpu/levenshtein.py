@@ -541,35 +541,49 @@ def _empty_needle_matches(
     return res
 
 
-def _lengths_for_hits(
+def _hit_length(
     needle: np.ndarray,
     haystack: np.ndarray,
-    dists: np.ndarray,
+    j: int,
     k: int,
     costs: EditCosts,
-) -> np.ndarray:
+    span: int,
+) -> int:
     """Recover the reference's maximize-length tie-break (jewel.rs:364-417)
-    at the sparse end positions where dist <= k, by replaying the scalar
-    oracle on a window no larger than the maximal match span.  Exact: the
-    oracle IS the tie-break semantics, and a cost-<=k match spans at most
-    window_span chars, so the window always contains the full match."""
-    from .ops.search_scan import window_span
+    at one end position with dist <= k, by replaying the scalar oracle on a
+    window no larger than the maximal match span.  Exact: the oracle IS the
+    tie-break semantics, and a cost-<=k match spans at most window_span
+    chars, so the window always contains the full match."""
+    w0 = max(0, j - span)
+    window = haystack[w0:j]
+    for mt in levenshtein_search_naive_with_opts(
+        needle, window, k, SearchType.All, costs, False
+    ):
+        if mt.end == j - w0:
+            return mt.end - mt.start
+    return 0
 
-    m = len(needle)
-    span = min(
-        window_span(m, k, costs.gap_cost, costs.start_gap_cost), len(haystack)
-    )
-    lengths = np.zeros(len(dists), dtype=np.int64)
-    for j in np.flatnonzero(dists <= k):
-        w0 = max(0, int(j) - span)
-        window = haystack[w0 : int(j)]
-        for mt in levenshtein_search_naive_with_opts(
-            needle, window, k, SearchType.All, costs, False
-        ):
-            if mt.end == int(j) - w0:
-                lengths[j] = mt.end - mt.start
-                break
-    return lengths
+
+def _postprocess_sparse(
+    cands: List[Tuple[int, int, int]],  # (end, dist, length), end-ascending
+    k: int,
+    search_type: SearchType,
+) -> List[Match]:
+    """postprocess_matches over a sparse candidate list (all dist <= k);
+    behaviorally identical because the dense pass only inspects hits."""
+    if search_type == SearchType.All:
+        return [Match(start=p - l, end=p, k=d) for p, d, l in cands]
+    res: List[Match] = []
+    curr_k = k
+    for p, d, l in cands:
+        if d <= curr_k:
+            curr_k = d
+            mt = Match(start=p - l, end=p, k=d)
+            if res and mt.start <= res[-1].start:
+                res[-1] = mt
+            else:
+                res.append(mt)
+    return [mt for mt in res if mt.k == curr_k]
 
 
 def levenshtein_search_simd_with_opts(
@@ -634,17 +648,15 @@ def levenshtein_search_simd_with_opts(
         import jax
 
         from .ops.pallas.search_myers import (
-            myers_search_pallas,
+            chunk_raw,
             prepare_myers_search_inputs,
             suggest_own_len,
         )
 
         own_len = min(suggest_own_len(m, halo), round_up_pow2(iter_len, 128))
-        seg_pad, seg_n, seg_off, own_start, seg_len = chunk_haystack(
-            haystack[:iter_len], m, halo, own_len
-        )
-        segs = seg_pad[:, m + 1 : m + 1 + seg_len]
-        nchar, seg_t, decode = prepare_myers_search_inputs(needle, segs)
+        segs, C = chunk_raw(haystack[:iter_len], halo, own_len)
+        seg_len = halo + own_len
+        nchar, seg_t, _decode = prepare_myers_search_inputs(needle, segs)
         width = seg_t.shape[0] // msplan[2]
         DispatchDecision(
             path="myers_search",
@@ -654,7 +666,15 @@ def levenshtein_search_simd_with_opts(
             padded_m=m,
             padded_n=seg_len,
         ).log("levenshtein_search_simd_with_opts")
-        out = myers_search_pallas(
+        from .ops.pallas.search_myers import (
+            BLOCK as MS_BLOCK,
+            myers_gather_blocks,
+            myers_search_block_mins,
+        )
+
+        G = msplan[2]
+        OUT = seg_len + 1
+        dist_d, mins_d = myers_search_block_mins(
             nchar,
             jax.device_put(seg_t),
             needle_len=m,
@@ -663,26 +683,53 @@ def levenshtein_search_simd_with_opts(
             anchored=False,
             interpret=jax.default_backend() != "tpu",
         )
-        dist_seg = decode(out, seg_len).astype(np.int64)
-        C = dist_seg.shape[0]
-        dists = np.full(iter_len + 1, np.int64(1) << 40, dtype=np.int64)
-        for c in range(C):
-            o = int(own_start[c])
-            s0 = int(seg_off[c])
-            lo_local = o - s0
-            hi_local = min(int(seg_n[c]), lo_local + own_len)
-            if c == 0:
-                dists[0] = dist_seg[0, 0]
-            g0 = s0 + lo_local + 1
-            g1 = min(s0 + hi_local, iter_len)
-            if g1 >= g0:
-                dists[g0 : g1 + 1] = dist_seg[
-                    c, lo_local + 1 : lo_local + 1 + (g1 - g0 + 1)
-                ]
-        n_hits = int((dists <= k).sum())
-        if n_hits <= max(512, (iter_len + 1) // 64):
-            lengths = _lengths_for_hits(needle, haystack, dists, k, costs)
-            return postprocess_matches(dists, lengths, k, search_type)
+        # two-phase fetch: tiny block minima first, then only the row-blocks
+        # that can contain hits (full distance arrays are 4 bytes per
+        # haystack byte — the fetch, not the compute, dominates otherwise).
+        # Non-hit positions keep a large sentinel; the postprocess only
+        # inspects positions with dist <= k, so this is exact.
+        mins = np.asarray(mins_d)
+        rb, cols = np.nonzero(mins <= k)
+        hits: List[Tuple[int, int]] = []  # (end position, dist)
+        if rb.size:
+            pad_n = round_up_pow2(rb.size, 8)
+            rb_p = np.empty(pad_n, np.int32)
+            cols_p = np.empty(pad_n, np.int32)
+            rb_p[: rb.size], rb_p[rb.size :] = rb, rb[-1]
+            cols_p[: cols.size], cols_p[cols.size :] = cols, cols[-1]
+            blocks = np.asarray(myers_gather_blocks(dist_d, rb_p, cols_p))
+            for bi in range(rb.size):
+                col = int(cols[bi])
+                g, lane = divmod(col, 128)
+                for off, d in enumerate(blocks[bi]):
+                    if d > k:
+                        continue
+                    r = int(rb[bi]) * MS_BLOCK + off
+                    u, t = divmod(r, OUT)
+                    if u >= G:
+                        continue
+                    c = g * (G * 128) + u * 128 + lane
+                    if c >= C:
+                        continue
+                    # uniform chunk_raw mapping: local t <-> global
+                    # c*own_len - halo + t; segment c owns ends in
+                    # (c*own_len, c*own_len + own_len]; chunk 0 also owns 0
+                    if (halo < t <= halo + own_len) or (
+                        c == 0 and t == halo
+                    ):
+                        gpos = c * own_len - halo + t
+                        if 0 <= gpos <= iter_len:
+                            hits.append((gpos, int(d)))
+        if len(hits) <= max(512, (iter_len + 1) // 64):
+            hits.sort()
+            span = min(
+                window_span(m, k, costs.gap_cost, costs.start_gap_cost), n
+            )
+            cands = [
+                (p, d, _hit_length(needle, haystack, p, k, costs, span))
+                for p, d in hits
+            ]
+            return _postprocess_sparse(cands, k, search_type)
         # dense hits: fall through to the length-tracking engine below
     effective_n = iter_len
     # the Pallas path favors many 128-lane chunks; the scan path favors

@@ -199,6 +199,9 @@ def myers_search_pallas(
     BG = seg_t.shape[1]
     assert BG % LANES == 0 and seg_t.shape[0] == G * width
     OUT = seg_len + 1
+    # segments may arrive as uint8 (4x less host->device traffic); the
+    # kernel compares against int32 needle chars, so widen on device first
+    seg_t = seg_t.astype(jnp.int32)
     return pl.pallas_call(
         kernel,
         grid=(BG // LANES,),
@@ -215,32 +218,109 @@ def myers_search_pallas(
     )(nchar, seg_t)
 
 
+def chunk_raw(hay: np.ndarray, halo: int, own_len: int):
+    """Zero-copy segmentation of a haystack into overlapping windows.
+
+    Returns (segs, num) where segs is a [num, halo+own_len] uint8 strided
+    VIEW (no copy): row c = padded[c*own_len : c*own_len + halo + own_len],
+    i.e. global positions [c*own_len - halo, c*own_len + own_len) with
+    zero padding outside the haystack.  Uniform convention: local index t
+    maps to global position c*own_len - halo + t; segment c owns global
+    end positions [c*own_len, c*own_len + own_len].  Zero pad bytes can
+    only influence distances at non-owned positions (windows of owned
+    positions lie fully inside the real data by the halo construction).
+    """
+    n = len(hay)
+    num = max(1, -(-n // own_len))
+    seg_len = halo + own_len
+    padded = np.zeros(halo + num * own_len + seg_len, dtype=np.uint8)
+    padded[halo : halo + n] = hay
+    view = np.lib.stride_tricks.sliding_window_view(padded, seg_len)
+    return view[:: own_len][:num], num
+
+
+BLOCK = 512  # rows per candidate block in the two-phase hit fetch
+
+
+@partial(jax.jit, static_argnames=("needle_len", "width", "seg_len",
+                                   "anchored", "interpret"))
+def myers_search_block_mins(
+    nchar: jnp.ndarray,
+    seg_t: jnp.ndarray,
+    *,
+    needle_len: int,
+    width: int,
+    seg_len: int,
+    anchored: bool = False,
+    interpret: bool = False,
+):
+    """Phase 1 of the two-phase hit fetch: run the search kernel, leave the
+    distance tiles in device memory, return (dist, per-BLOCK column minima).
+
+    Fetching the full distance array costs 4 bytes per haystack byte; the
+    minima are BLOCK times smaller, and the host then fetches only the
+    row-blocks that can contain hits (myers_gather_blocks)."""
+    dist = myers_search_pallas(
+        nchar, seg_t, needle_len=needle_len, width=width,
+        seg_len=seg_len, anchored=anchored, interpret=interpret,
+    )
+    R = dist.shape[0]
+    pad = (-R) % BLOCK
+    dp = jnp.pad(dist, ((0, pad), (0, 0)), constant_values=1 << 30)
+    mins = jnp.min(dp.reshape(-1, BLOCK, dist.shape[1]), axis=1)
+    return dist, mins
+
+
+@jax.jit
+def myers_gather_blocks(dist: jnp.ndarray, row_block: jnp.ndarray,
+                        col: jnp.ndarray):
+    """Phase 2: fetch BLOCK-row slices of selected (row_block, column)
+    cells only."""
+    R = dist.shape[0]
+    pad = (-R) % BLOCK
+    dp = jnp.pad(dist, ((0, pad), (0, 0)), constant_values=1 << 30)
+    dp = dp.reshape(-1, BLOCK, dist.shape[1])
+    return dp[row_block, :, col]
+
+
 def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
-    """Pack raw haystack segments ([C, width0] row-major, chars from row 0,
-    -1 padded — i.e. chunk_haystack's seg_pad sliced at its char offset
-    needle_len+1) into the grouped transposed layout; returns
-    (nchar, seg_t, decode) where decode(out, seg_len) reorders the kernel
-    output back to [C, seg_len+1]."""
+    """Pack raw haystack segments ([C, width0] row-major, chars from row 0;
+    e.g. chunk_raw's view, or chunk_haystack's seg_pad sliced at its char
+    offset needle_len+1) into the grouped transposed layout; returns
+    (nchar, seg_t, decode) where seg_t is uint8 (converted to int32 on
+    device — 4x less upload) and decode(out, seg_len) reorders the kernel
+    output back to [C, seg_len+1].  Segment pad bytes are 0: they can
+    produce spurious Eq matches only at positions the stitch never reads
+    (beyond each segment's data / unused lanes)."""
     m = len(needle)
     plan = myers_search_plan(m)
     assert plan is not None
     NW, SG, G, WIN = plan
+    seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
     C0, width0 = seg_pad.shape
     width = _round_up(max(width0, 1), 8)
     # at least two 128-lane grid blocks — this Mosaic runtime faults the
     # TPU worker on single-step grids
     BG = max(_round_up(max(-(-C0 // G), 1), LANES), 2 * LANES)
+    nG = BG // LANES
 
     nchar = np.full((WIN, LANES), -1, dtype=np.int32)
     nchar[:m, :] = np.asarray(needle, dtype=np.int32)[:, None]
-    seg_t = np.full((G * width, BG), -2, dtype=np.int32)
-    for c in range(C0):
-        g, r = divmod(c, G * LANES)
-        u, lane = divmod(r, LANES)
-        seg_t[u * width : u * width + width0, g * LANES + lane] = seg_pad[c]
+
+    # vectorized grouped transpose: segment c = g*(G*128) + u*128 + lane
+    # lands at rows [u*width, u*width+width0), column g*128 + lane
+    segs_full = np.zeros((nG * G * LANES, width0), dtype=np.uint8)
+    segs_full[:C0] = seg_pad
+    st = (
+        segs_full.reshape(nG, G, LANES, width0)
+        .transpose(1, 3, 0, 2)
+        .reshape(G, width0, BG)
+    )
+    seg_t = np.zeros((G * width, BG), dtype=np.uint8)
+    seg_t.reshape(G, width, BG)[:, :width0, :] = st
 
     def decode(out, seg_len):
-        d = np.asarray(out).reshape(G, seg_len + 1, BG // LANES, LANES)
+        d = np.asarray(out).reshape(G, seg_len + 1, nG, LANES)
         d = np.transpose(d, (2, 0, 3, 1)).reshape(-1, seg_len + 1)
         return d[:C0]
 
