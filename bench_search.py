@@ -31,7 +31,8 @@ def main():
         prepare_myers_search_inputs,
         suggest_own_len,
     )
-    from triple_accel_tpu.ops.search_scan import chunk_haystack, window_span
+    from triple_accel_tpu.ops.pallas.search_myers import chunk_raw
+    from triple_accel_tpu.ops.search_scan import window_span
 
     NEEDLE_LEN = 24
     K = 3
@@ -49,10 +50,8 @@ def main():
 
     halo = min(window_span(NEEDLE_LEN, K, 1, 0), N)
     own_len = suggest_own_len(NEEDLE_LEN, halo)
-    seg_pad, seg_n, seg_off, own_start, seg_len = chunk_haystack(
-        hay, NEEDLE_LEN, halo, own_len
-    )
-    segs = seg_pad[:, NEEDLE_LEN + 1 : NEEDLE_LEN + 1 + seg_len]
+    segs, _C = chunk_raw(hay, halo, own_len)
+    seg_len = halo + own_len
     nchar, seg_t, _ = prepare_myers_search_inputs(needle, segs)
     width = seg_t.shape[0] // myers_search_plan(NEEDLE_LEN)[2]
     nchar_d = jax.device_put(nchar)
