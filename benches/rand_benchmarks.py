@@ -1,0 +1,154 @@
+"""Criterion-equivalent randomized benchmark groups.
+
+Mirrors the reference's benches/rand_benchmarks.rs: the same five groups,
+the same size ladders, the same seed (1234), and — most importantly — the
+same discipline of asserting cross-implementation equality on the random
+workloads BEFORE timing anything (rand_benchmarks.rs:17-21, 45-46, 65-67,
+88-90, 113-114: every bench run doubles as a differential test).
+
+Run: python benches/rand_benchmarks.py  [--quick]
+Prints one JSON line per group.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from triple_accel_tpu import SearchType  # noqa: E402
+from triple_accel_tpu.hamming import (  # noqa: E402
+    hamming_search_simd_with_opts,
+    hamming_simd_parallel,
+)
+from triple_accel_tpu.levenshtein import (  # noqa: E402
+    levenshtein_k_batch,
+    levenshtein_search_simd_with_opts,
+    levenshtein_simd_k,
+)
+from triple_accel_tpu.oracle import (  # noqa: E402
+    hamming_naive,
+    hamming_search_naive_with_opts,
+    levenshtein_naive_k,
+    levenshtein_search_naive_with_opts,
+)
+
+RNG = np.random.default_rng(1234)  # rand_benchmarks.rs:8
+
+
+def rand_str(length):
+    return RNG.integers(65, 91, length).astype(np.uint8)
+
+
+def mutate(s, edits):
+    """substitute/insert/delete mutations (rand_benchmarks.rs:207-238)."""
+    out = list(s)
+    for _ in range(edits):
+        op = RNG.integers(0, 3)
+        if op == 0 and out:
+            out[RNG.integers(0, len(out))] = RNG.integers(65, 91)
+        elif op == 1:
+            out.insert(int(RNG.integers(0, len(out) + 1)),
+                       int(RNG.integers(65, 91)))
+        elif op == 2 and out:
+            del out[RNG.integers(0, len(out))]
+    return np.array(out, dtype=np.uint8)
+
+
+def plant(haystack, needle, num):
+    """plant `num` mutated needles (rand_benchmarks.rs:126-152)."""
+    h = haystack.copy()
+    for _ in range(num):
+        nd = mutate(needle, max(1, len(needle) // 10))
+        nd = nd[: len(needle)]
+        pos = int(RNG.integers(0, len(h) - len(nd)))
+        h[pos : pos + len(nd)] = nd
+    return h
+
+
+def timeit(fn, reps=3):
+    fn()  # warm/compile
+    t = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        t.append(time.perf_counter() - t0)
+    return min(t)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    sizes = [10, 100, 1000]
+    results = {}
+
+    # group 1: hamming pairs (rand_benchmarks.rs:13-27)
+    for L in sizes:
+        a, b = rand_str(L), rand_str(L)
+        b[RNG.integers(0, L, max(1, L // 10))] = 65
+        assert hamming_simd_parallel(a, b) == hamming_naive(a, b)
+        results[f"hamming_{L}"] = timeit(lambda: hamming_simd_parallel(a, b))
+
+    # group 2: hamming search (rand_benchmarks.rs:39-50)
+    for L in [100, 1000]:
+        needle = rand_str(max(1, L // 10))
+        hay = plant(rand_str(L), needle, 2)
+        k = max(1, L // 100)
+        got = hamming_search_simd_with_opts(needle, hay, k, SearchType.All)
+        exp = hamming_search_naive_with_opts(needle, hay, k, SearchType.All)
+        assert got == exp, (L, got[:3], exp[:3])
+        results[f"hamming_search_{L}"] = timeit(
+            lambda: hamming_search_simd_with_opts(needle, hay, k,
+                                                  SearchType.All)
+        )
+
+    # groups 3+4: levenshtein distance, single + batched
+    # (rand_benchmarks.rs:61-98)
+    for L in sizes:
+        k = max(1, L // 10)
+        a = rand_str(L)
+        b = mutate(a, max(1, k // 2))
+        got = levenshtein_simd_k(a, b, k)
+        exp = levenshtein_naive_k(a, b, k)
+        assert got == exp, (L, got, exp)
+        results[f"levenshtein_{L}"] = timeit(
+            lambda: levenshtein_simd_k(a, b, k)
+        )
+    B = 64 if quick else 1024
+    a_list = [rand_str(1000) for _ in range(B)]
+    b_list = [mutate(a, 16) for a in a_list]
+    for i in range(4):
+        ref = levenshtein_naive_k(a_list[i], b_list[i], 100)
+        got = int(levenshtein_k_batch(a_list[:8], b_list[:8], 100)[i])
+        assert got == (ref if ref is not None else -1)
+    dt = timeit(lambda: levenshtein_k_batch(a_list, b_list, 100))
+    results["levenshtein_batch_pairs_per_sec"] = B / dt
+
+    # group 5: levenshtein search (rand_benchmarks.rs:106-121)
+    for L in [100, 1000]:
+        needle = rand_str(max(1, L // 10))
+        hay = plant(rand_str(L), needle, 2)
+        k = max(1, L // 100)
+        got = levenshtein_search_simd_with_opts(
+            needle, hay, k, SearchType.All
+        )
+        exp = levenshtein_search_naive_with_opts(
+            needle, hay, k, SearchType.All
+        )
+        assert got == exp, (L, got[:3], exp[:3])
+        results[f"levenshtein_search_{L}"] = timeit(
+            lambda: levenshtein_search_simd_with_opts(needle, hay, k,
+                                                      SearchType.All)
+        )
+
+    for name, v in results.items():
+        unit = "pairs/s" if name.endswith("per_sec") else "s"
+        print(json.dumps({"bench": name, "value": round(v, 6), "unit": unit}))
+    print("# all differential asserts passed", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
