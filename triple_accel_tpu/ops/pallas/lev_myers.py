@@ -146,19 +146,20 @@ def _make_kernel(k: int, max_m: int):
                     d <<= 1
             return (s + c) & maskw
 
-        # Eq packing weights (per block u: rows of its subgroup only)
-        wr = lax.broadcasted_iota(jnp.int32, (8, WIN), 0)
-        wc = lax.broadcasted_iota(jnp.int32, (8, WIN), 1)
-
-        def eq_weights(u):
-            t = wc - WORD * (wr - u * SG)
-            return jnp.where(
-                (wr >= u * SG) & (wr < u * SG + NW) & (t >= 0) & (t < WORD),
-                (jnp.int32(1) << jnp.clip(t, 0, WORD - 1)).astype(jnp.float32),
-                0.0,
-            )
-
-        wts = [eq_weights(u) for u in range(G)]
+        # Eq packing weights: one block-diagonal matrix so all G blocks
+        # pack with a SINGLE MXU dot per row (G separate small dots would
+        # serialize on the MXU); block u's window occupies columns
+        # [u*WIN, (u+1)*WIN) and lands on its subgroup's rows
+        wr = lax.broadcasted_iota(jnp.int32, (8, G * WIN), 0)
+        wc = lax.broadcasted_iota(jnp.int32, (8, G * WIN), 1)
+        u_col = wc // WIN
+        t = (wc % WIN) - WORD * (wr - u_col * SG)
+        wt_all = jnp.where(
+            (wr >= u_col * SG) & (wr < u_col * SG + NW)
+            & (t >= 0) & (t < WORD),
+            (jnp.int32(1) << jnp.clip(t, 0, WORD - 1)).astype(jnp.float32),
+            0.0,
+        )
 
         # virtual-column mask base: bits p <= ukL - i  <->  p < ukL - i + 1
         vbase = ukl_tile + 1 - WORD * sub
@@ -176,16 +177,19 @@ def _make_kernel(k: int, max_m: int):
                 PhI = shr1(Ph, top_tile)
                 MhI = shr1(Mh, zero)
 
-                Eq_f = jnp.zeros((8, LANES), jnp.float32)
+                eqs = []
                 for u in range(G):
                     a_char = a_ref[pl.ds(u * max_m + i - 1, 1), :]
                     bwin = b_ref[pl.ds(u * (max_m + WIN) + i - 1, WIN), :]
-                    eqf = jnp.where(bwin == a_char, 1.0, 0.0).astype(
-                        jnp.float32
+                    eqs.append(
+                        jnp.where(bwin == a_char, 1.0, 0.0).astype(
+                            jnp.float32
+                        )
                     )
-                    Eq_f = Eq_f + jnp.dot(
-                        wts[u], eqf, preferred_element_type=jnp.float32
-                    )
+                eqf = eqs[0] if G == 1 else jnp.concatenate(eqs, axis=0)
+                Eq_f = jnp.dot(
+                    wt_all, eqf, preferred_element_type=jnp.float32
+                )
                 Eq = Eq_f.astype(jnp.int32) & maskw
 
                 Xh = Eq | MhI

@@ -124,6 +124,10 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
                     d <<= 1
             return (s + c) & maskw
 
+        # per-block dots measure FASTER here than one fused block-diagonal
+        # dot (unlike lev_myers): the fused variant materializes a G*WIN
+        # concat each step, which outweighs the saved MXU dispatches for
+        # these tiny windows
         wr = lax.broadcasted_iota(jnp.int32, (8, WIN), 0)
         wc = lax.broadcasted_iota(jnp.int32, (8, WIN), 1)
 
