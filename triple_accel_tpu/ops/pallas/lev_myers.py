@@ -168,64 +168,80 @@ def _make_kernel(k: int, max_m: int):
         a0 = -ukl_tile - 1  # A_0 = D[0, -ukL-1] (virtual row 0: D[0,j] = j)
         state0 = (ph0, zero, a0, ph0, zero, a0)
 
-        def make_body(with_virtual: bool):
-            def body(i, state):
-                Ph, Mh, A, rP, rM, rA = state
-                # anchor: A_i = D[i, i-ukL-1] = D[i-1, (i-1)-ukL] + 1
-                A = A + (Ph & 1) - (Mh & 1) + 1
-
-                PhI = shr1(Ph, top_tile)
-                MhI = shr1(Mh, zero)
-
-                eqs = []
-                for u in range(G):
-                    a_char = a_ref[pl.ds(u * max_m + i - 1, 1), :]
-                    bwin = b_ref[pl.ds(u * (max_m + WIN) + i - 1, WIN), :]
-                    eqs.append(
-                        jnp.where(bwin == a_char, 1.0, 0.0).astype(
-                            jnp.float32
-                        )
-                    )
-                eqf = eqs[0] if G == 1 else jnp.concatenate(eqs, axis=0)
-                Eq_f = jnp.dot(
-                    wt_all, eqf, preferred_element_type=jnp.float32
+        def eq_for_row(i):
+            eqs = []
+            for u in range(G):
+                a_char = a_ref[pl.ds(u * max_m + i - 1, 1), :]
+                bwin = b_ref[pl.ds(u * (max_m + WIN) + i - 1, WIN), :]
+                eqs.append(
+                    jnp.where(bwin == a_char, 1.0, 0.0).astype(jnp.float32)
                 )
-                Eq = Eq_f.astype(jnp.int32) & maskw
+            eqf = eqs[0] if G == 1 else jnp.concatenate(eqs, axis=0)
+            return jnp.dot(
+                wt_all, eqf, preferred_element_type=jnp.float32
+            ).astype(jnp.int32) & maskw
 
-                Xh = Eq | MhI
-                X = (add_words(Eq & PhI, PhI) ^ PhI) | Eq
-                Pv = MhI | bnot(X | PhI)
-                Mv = PhI & X
-                if with_virtual:
-                    # virtual columns j <= 0: force dv = +1 (and dh below)
-                    vbits = jnp.clip(vbase - i, 0, WORD)
-                    vmask = ((jnp.int32(1) << vbits) - 1) & maskw
-                    nvmask = bnot(vmask)
-                    Pv = Pv | vmask
-                    Mv = Mv & nvmask
+        def step(i, state, Eq, with_virtual):
+            Ph, Mh, A, rP, rM, rA = state
+            # anchor: A_i = D[i, i-ukL-1] = D[i-1, (i-1)-ukL] + 1
+            A = A + (Ph & 1) - (Mh & 1) + 1
 
-                PvS = shl1(Pv, 1)
-                MvS = shl1(Mv, 0)
-                Ph = MvS | bnot(Xh | PvS)
-                Mh = PvS & Xh
-                if with_virtual:
-                    Ph = Ph | vmask
-                    Mh = Mh & nvmask
+            PhI = shr1(Ph, top_tile)
+            MhI = shr1(Mh, zero)
 
-                at_m = i == m_tile
-                rP = jnp.where(at_m, Ph, rP)
-                rM = jnp.where(at_m, Mh, rM)
-                rA = jnp.where(at_m, A, rA)
-                return (Ph, Mh, A, rP, rM, rA)
+            Xh = Eq | MhI
+            X = (add_words(Eq & PhI, PhI) ^ PhI) | Eq
+            Pv = MhI | bnot(X | PhI)
+            Mv = PhI & X
+            if with_virtual:
+                # virtual columns j <= 0: force dv = +1 (and dh below)
+                vbits = jnp.clip(vbase - i, 0, WORD)
+                vmask = ((jnp.int32(1) << vbits) - 1) & maskw
+                nvmask = bnot(vmask)
+                Pv = Pv | vmask
+                Mv = Mv & nvmask
+
+            PvS = shl1(Pv, 1)
+            MvS = shl1(Mv, 0)
+            Ph = MvS | bnot(Xh | PvS)
+            Mh = PvS & Xh
+            if with_virtual:
+                Ph = Ph | vmask
+                Mh = Mh & nvmask
+
+            at_m = i == m_tile
+            rP = jnp.where(at_m, Ph, rP)
+            rM = jnp.where(at_m, Mh, rM)
+            rA = jnp.where(at_m, A, rA)
+            return (Ph, Mh, A, rP, rM, rA)
+
+        # rows per loop iteration: each row's Eq pipeline overlaps the
+        # previous row's bit chain (MXU/VPU overlap).  Measured on v5e:
+        # UN=2 +24%, UN=4 +40%, UN=8 +75% over no unroll; UN=16 regresses
+        # slightly and quadruples compile time.
+        UN = 8
+
+        def make_body(with_virtual: bool):
+            # several rows per iteration: each row's Eq pipeline (slices,
+            # compares, MXU dot) is independent of the previous row's bit
+            # chain, so the compiler overlaps MXU and VPU work
+            def body(t, state):
+                i0 = UN * (t - 1) + 1
+                eqs = [eq_for_row(i0 + r) for r in range(UN)]
+                for r in range(UN):
+                    state = step(i0 + r, state, eqs[r], with_virtual)
+                return state
 
             return body
 
         # rows i <= ukL can touch virtual columns (ukL <= k//2); beyond
-        # that the forcing masks are identically zero and are skipped
-        split = min(k // 2 + 1, max_m)
-        state1 = lax.fori_loop(1, split + 1, make_body(True), state0)
+        # that the forcing masks are identically zero and are skipped.
+        # Bounds are in UN-row steps.
+        assert max_m % UN == 0
+        split_u = min((k // 2 + UN) // UN, max_m // UN)
+        state1 = lax.fori_loop(1, split_u + 1, make_body(True), state0)
         _, _, _, rP, rM, rA = lax.fori_loop(
-            split + 1, max_m + 1, make_body(False), state1
+            split_u + 1, max_m // UN + 1, make_body(False), state1
         )
 
         # D[m, n] = A_m + sum of dh[m] bits p in [0, dlen + ukL]
