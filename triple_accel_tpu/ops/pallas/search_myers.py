@@ -73,11 +73,15 @@ def suggest_own_len(needle_len: int, halo: int) -> int:
     return max(128, (seg_budget // 128) * 128)
 
 
+UNROLL = 4  # haystack chars per loop iteration (MXU/VPU overlap)
+
+
 def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
     m = needle_len
     NW, SG, G, WIN = myers_search_plan(m)
     wS, offS = (m - 1) // WORD, (m - 1) % WORD
     mtop = m - WORD * (NW - 1)
+    assert seg_len % UNROLL == 0
     OUT = seg_len + 1
 
     def kernel(nchar_ref, seg_ref, out_ref):
@@ -149,8 +153,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
                 (1, LANES), m, jnp.int32
             )
 
-        def body(t, state):
-            Pv, Mv, S = state
+        def eq_for_step(t):
             Eq_f = jnp.zeros((8, LANES), jnp.float32)
             for u in range(G):
                 char = seg_ref[pl.ds(u * width + t - 1, 1), :]
@@ -158,8 +161,10 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
                 Eq_f = Eq_f + jnp.dot(
                     wts[u], eqf, preferred_element_type=jnp.float32
                 )
-            Eq = Eq_f.astype(jnp.int32) & maskw
+            return Eq_f.astype(jnp.int32) & maskw
 
+        def step(t, state, Eq):
+            Pv, Mv, S = state
             Xv = Eq | Mv
             Xh = (add_words(Eq & Pv, Pv) ^ Pv) | Eq
             Ph = Mv | bnot(Xh | Pv)
@@ -175,8 +180,20 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
                 ]
             return (Pv, Mv, S)
 
+        def body(tt, state):
+            # UNROLL chars per iteration: each step's Eq pipeline is
+            # independent of the previous step's bit chain (MXU/VPU
+            # overlap, same trick as lev_myers.py).  Per-step (1,128)
+            # stores measured FASTER than batching UNROLL rows through a
+            # concat before one store.
+            t0 = UNROLL * (tt - 1) + 1
+            eqs = [eq_for_step(t0 + r) for r in range(UNROLL)]
+            for r in range(UNROLL):
+                state = step(t0 + r, state, eqs[r])
+            return state
+
         s0 = jnp.full((8, LANES), m, jnp.int32)
-        lax.fori_loop(1, seg_len + 1, body, (maskw, zero, s0))
+        lax.fori_loop(1, seg_len // UNROLL + 1, body, (maskw, zero, s0))
 
     return kernel, NW, SG, G, WIN
 
@@ -199,14 +216,18 @@ def myers_search_pallas(
     for every segment.  Returns [G*(seg_len+1), BG] int32; segment c lives
     at block u = (c % (G*128)) // 128 rows, column (c // (G*128))*128 + lane.
     """
-    kernel, NW, SG, G, WIN = _make_kernel(needle_len, width, seg_len, anchored)
+    # pad the step count to the unroll factor; rows past seg_len carry
+    # zero-extension garbage that callers never map to owned positions
+    SL = _round_up(seg_len, UNROLL)
+    kernel, NW, SG, G, WIN = _make_kernel(needle_len, width, SL, anchored)
     BG = seg_t.shape[1]
     assert BG % LANES == 0 and seg_t.shape[0] == G * width
-    OUT = seg_len + 1
+    assert SL <= width, (SL, width)
+    OUT = SL + 1
     # segments may arrive as uint8 (4x less host->device traffic); the
     # kernel compares against int32 needle chars, so widen on device first
     seg_t = seg_t.astype(jnp.int32)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(BG // LANES,),
         in_specs=[
@@ -220,6 +241,9 @@ def myers_search_pallas(
         out_shape=jax.ShapeDtypeStruct((G * OUT, BG), jnp.int32),
         interpret=interpret,
     )(nchar, seg_t)
+    if SL != seg_len:
+        out = out.reshape(G, OUT, BG)[:, : seg_len + 1].reshape(-1, BG)
+    return out
 
 
 def chunk_raw(hay: np.ndarray, halo: int, own_len: int):
