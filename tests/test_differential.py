@@ -215,3 +215,24 @@ def test_chunked_search_equals_unchunked():
         needle, haystack, 4, SearchType.All, LEVENSHTEIN_COSTS, False
     )
     assert dev == ref
+
+
+def test_levenshtein_exp_batch_matches_oracle():
+    """Batched exponential search resolves every pair exactly, including
+    pairs whose distance exceeds the initial k=30 bucket."""
+    from triple_accel_tpu.levenshtein import levenshtein_exp_batch
+    from triple_accel_tpu.oracle import levenshtein_naive
+
+    rng = np.random.default_rng(5)
+    a_list, b_list = [], []
+    for _ in range(24):
+        la = int(rng.integers(0, 120))
+        lb = int(rng.integers(0, 120))
+        a_list.append(rng.integers(65, 70, la).astype(np.uint8))
+        b_list.append(rng.integers(65, 70, lb).astype(np.uint8))
+    # one pair guaranteed far apart (distance > 30)
+    a_list.append(np.full(80, 65, dtype=np.uint8))
+    b_list.append(np.full(80, 66, dtype=np.uint8))
+    got = levenshtein_exp_batch(a_list, b_list)
+    for i, (a, b) in enumerate(zip(a_list, b_list)):
+        assert int(got[i]) == levenshtein_naive(a, b), i

@@ -46,6 +46,7 @@ from .hamming import (
 from .levenshtein import (
     levenshtein as levenshtein_fn,
     levenshtein_exp,
+    levenshtein_exp_batch,
     levenshtein_k_batch,
     levenshtein_search,
     rdamerau,
@@ -80,6 +81,7 @@ __all__ = [
     "levenshtein",
     "levenshtein_k_batch",
     "levenshtein_exp",
+    "levenshtein_exp_batch",
     "levenshtein_search",
     "rdamerau",
     "rdamerau_exp",

@@ -65,6 +65,7 @@ __all__ = [
     "levenshtein_exp_with_opts",
     "rdamerau_exp",
     "levenshtein_k_batch",
+    "levenshtein_exp_batch",
     "levenshtein_search_naive",
     "levenshtein_search_naive_with_opts",
     "levenshtein_search_simd",
@@ -300,6 +301,38 @@ def rdamerau_exp(a: BytesLike, b: BytesLike) -> int:
         if res is not None:
             return res[0]
         k *= 2
+
+
+def levenshtein_exp_batch(
+    a_batch: Sequence[BytesLike],
+    b_batch: Sequence[BytesLike],
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+) -> np.ndarray:
+    """Batched exponential-search exact distance — the batched-first analog
+    of `levenshtein_exp` (reference levenshtein.rs:1445-1454): all pairs
+    start at k = 30; unresolved pairs retry together with k doubled, so a
+    batch dominated by similar pairs never pays for a wide band.
+
+    Returns int64 exact distances (always resolves; never -1).
+    """
+    a_list = [to_bytes_array(x) for x in a_batch]
+    b_list = [to_bytes_array(x) for x in b_batch]
+    B = len(a_list)
+    res = np.full(B, -1, dtype=np.int64)
+    pending = np.arange(B)
+    k = 30
+    while pending.size:
+        out = levenshtein_k_batch(
+            [a_list[i] for i in pending],
+            [b_list[i] for i in pending],
+            k,
+            costs,
+        )
+        done = out >= 0
+        res[pending[done]] = out[done]
+        pending = pending[~done]
+        k *= 2
+    return res
 
 
 def _use_pallas() -> bool:
