@@ -225,3 +225,25 @@ def test_myers_search_public_api_matches_oracle(search_type_name):
             assert got == exp, (trial, m, n, k, got[:5], exp[:5])
     finally:
         del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+
+
+def test_long_strings_route_past_vmem_guards():
+    """Pairs too long for the Pallas kernels' VMEM budget must fall back
+    (previously an opaque Mosaic OOM) and still be exact."""
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+    from triple_accel_tpu.oracle import levenshtein_naive_k_with_opts
+
+    rng = np.random.default_rng(9)
+    # 1600 chars -> max_m 2048: the myers plan for k=16 packs G=8 blocks,
+    # needing 8*(2*2048+20) input rows >> the 12288-row VMEM budget
+    a = rng.integers(65, 91, 1600).astype(np.uint8)
+    b = a.copy()
+    b[rng.integers(0, 1600, 7)] = 65
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        out = levenshtein_k_batch([a], [b], 16)
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+    ref = levenshtein_naive_k_with_opts(a, b, 16, False)
+    exp = -1 if ref is None else ref[0]
+    assert int(out[0]) == exp

@@ -403,11 +403,18 @@ def levenshtein_k_batch(
     from .ops.pallas.lev_myers import myers_plan
 
     k_stat = round_up_pow2(int(max_ks.max(initial=0)), 4)
+    msplan = myers_plan(k_stat)
+    # VMEM guard: the kernel holds G*(max_m + max_m+WIN) int32 input rows
+    # double-buffered; past ~12MB Mosaic fails with an opaque OOM
+    myers_fits = (
+        msplan is not None
+        and msplan[2] * (2 * max_m + msplan[3]) <= 12288
+    )
     use_myers = (
         use_pallas
         and forced_path() != "pallas_band"
         and _costs_tuple(costs) == (1, 1, 0, 0, False)
-        and myers_plan(k_stat) is not None
+        and myers_fits
     )
 
     DispatchDecision(
@@ -447,6 +454,11 @@ def levenshtein_k_batch(
         )
         out = decode(distm).astype(np.int64)
         return np.where(feasible & (out <= max_ks), out, -1)
+
+    # VMEM guard for the general band kernel: (max_m + max_m+W) int32
+    # input rows double-buffered must stay well under the 16MB VMEM
+    if use_pallas and (2 * max_m + 2 * uk_dev + 1) > 12288:
+        use_pallas = False
 
     if use_pallas:
         import jax
