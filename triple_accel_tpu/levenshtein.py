@@ -797,6 +797,12 @@ def levenshtein_search_simd_with_opts(
         padded_n=seg_len,
     ).log("levenshtein_search_simd_with_opts")
 
+    # VMEM guard: the general search kernel keeps ~13 needle-sized scratch
+    # tiles resident (history rings + running state); very long needles
+    # must take the scan path instead of OOMing the Mosaic compile
+    if use_pallas and m > 1024:
+        use_pallas = False
+
     if use_pallas:
         import jax
 
