@@ -29,7 +29,7 @@ def levenshtein_search_sweep(
     k: Optional[int] = None,
     search_type: SearchType = SearchType.Best,
     costs: EditCosts = LEVENSHTEIN_COSTS,
-    slab_chars: int = 1 << 22,
+    slab_chars: int = 1 << 25,
     checkpoint_path: Optional[str] = None,
 ) -> List[Match]:
     """Search a very long haystack slab by slab, optionally resumable.
