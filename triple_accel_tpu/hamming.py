@@ -21,7 +21,6 @@ from typing import List, Optional
 
 import numpy as np
 
-from . import dispatch
 from .dispatch import DispatchDecision, forced_path, round_up_pow2
 from .oracle.hamming import (
     default_hamming_k,

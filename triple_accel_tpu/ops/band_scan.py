@@ -33,14 +33,14 @@ tie priority sub > horizontal(AGap) > vertical(BGap), transpose wins on <=
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..types import Edit, EditCosts, EditType
+from ..types import Edit, EditType
 
 __all__ = [
     "INF",

@@ -42,8 +42,6 @@ left-edge anchor chain consistent.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
