@@ -247,3 +247,39 @@ def test_long_strings_route_past_vmem_guards():
     ref = levenshtein_naive_k_with_opts(a, b, 16, False)
     exp = -1 if ref is None else ref[0]
     assert int(out[0]) == exp
+
+
+@pytest.mark.parametrize("search_type_name", ["Best", "All"])
+def test_search_many_matches_per_needle_api(search_type_name):
+    """Dictionary search: every needle's result must equal the per-needle
+    API (mixed lengths -> multiple shared launches + fallbacks)."""
+    from triple_accel_tpu.levenshtein import (
+        levenshtein_search_many,
+        levenshtein_search_simd_with_opts,
+    )
+    from triple_accel_tpu.types import LEVENSHTEIN_COSTS, SearchType
+
+    st = SearchType[search_type_name]
+    rng = np.random.default_rng(13)
+    hay = rng.integers(65, 70, 400).astype(np.uint8)
+    needles = []
+    for ln in [5, 5, 9, 9, 9, 24, 3]:
+        nd = rng.integers(65, 70, ln).astype(np.uint8)
+        needles.append(nd)
+    # plant two of them
+    hay[50:55] = needles[0]
+    hay[200:209] = needles[3]
+    k = 2
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        many = levenshtein_search_many(needles, hay, k, st, LEVENSHTEIN_COSTS)
+        singles = [
+            levenshtein_search_simd_with_opts(
+                nd, hay, k, st, LEVENSHTEIN_COSTS, False
+            )
+            for nd in needles
+        ]
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+    for i, (g, e) in enumerate(zip(many, singles)):
+        assert g == e, (i, g[:4], e[:4])

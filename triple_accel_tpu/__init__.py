@@ -49,6 +49,7 @@ from .levenshtein import (
     levenshtein_exp_batch,
     levenshtein_k_batch,
     levenshtein_search,
+    levenshtein_search_many,
     rdamerau,
     rdamerau_exp,
 )
@@ -83,6 +84,7 @@ __all__ = [
     "levenshtein_exp",
     "levenshtein_exp_batch",
     "levenshtein_search",
+    "levenshtein_search_many",
     "rdamerau",
     "rdamerau_exp",
 ]

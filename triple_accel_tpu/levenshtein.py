@@ -69,6 +69,7 @@ __all__ = [
     "levenshtein_search_naive",
     "levenshtein_search_naive_with_opts",
     "levenshtein_search_simd",
+    "levenshtein_search_many",
     "levenshtein_search_simd_with_opts",
     "levenshtein_search",
     "translate_str",
@@ -856,6 +857,138 @@ def levenshtein_search_simd_with_opts(
             lengths[g0 : g1 + 1] = len_seg[c, lo_local + 1 : lo_local + 1 + (g1 - g0 + 1)]
 
     return postprocess_matches(dists, lengths, k, search_type)
+
+
+def levenshtein_search_many(
+    needles: Sequence[BytesLike],
+    haystack: BytesLike,
+    k: int,
+    search_type: SearchType = SearchType.Best,
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+) -> List[List[Match]]:
+    """Dictionary search: every needle against one haystack, unanchored.
+
+    Beyond the reference's scope (it searches one needle at a time): for
+    unit costs, same-length needles share ONE kernel launch over a
+    (needles x segment-blocks) grid — the haystack is uploaded and held on
+    the device once, and each needle's wavefront sweeps it in parallel
+    lanes.  Other cost models (and oversized needles) fall back to
+    per-needle dispatch.  Returns one Match list per needle, each
+    identical to `levenshtein_search_simd_with_opts(needle, ...)`.
+    """
+    import jax
+
+    from .ops.pallas.search_myers import (
+        BLOCK as MS_BLOCK,
+        chunk_raw,
+        myers_gather_blocks,
+        myers_search_block_mins,
+        myers_search_plan,
+        prepare_myers_needles,
+        prepare_myers_search_inputs,
+        suggest_own_len,
+    )
+    from .ops.search_scan import window_span
+
+    needles = [to_bytes_array(nd) for nd in needles]
+    haystack = to_bytes_array(haystack)
+    n = len(haystack)
+    costs.check_search()
+    results: List[Optional[List[Match]]] = [None] * len(needles)
+
+    use_batched = (
+        _use_pallas()
+        and forced_path() != "pallas_band"
+        and _costs_tuple(costs) == (1, 1, 0, 0, False)
+    )
+
+    # group same-length needles into shared launches
+    by_len: dict = {}
+    for i, nd in enumerate(needles):
+        by_len.setdefault(len(nd), []).append(i)
+
+    for m, idxs in sorted(by_len.items()):
+        msplan = myers_search_plan(m)
+        if not (use_batched and msplan is not None and m > 0 and n > 0):
+            for i in idxs:
+                results[i] = levenshtein_search_simd_with_opts(
+                    needles[i], haystack, k, search_type, costs, False
+                )
+            continue
+
+        G = msplan[2]
+        halo = min(window_span(m, k, 1, 0), n)
+        own_len = min(suggest_own_len(m, halo), round_up_pow2(n, 128))
+        segs, C = chunk_raw(haystack, halo, own_len)
+        seg_len = halo + own_len
+        _, seg_t, _decode = prepare_myers_search_inputs(needles[idxs[0]], segs)
+        nchar = prepare_myers_needles([needles[i] for i in idxs], m)
+        width = seg_t.shape[0] // G
+        NUM = len(idxs)
+        DispatchDecision(
+            path="myers_search_many",
+            cost_bucket="u8",
+            unit_k=halo,
+            max_k=k,
+            padded_m=m,
+            padded_n=NUM,
+        ).log("levenshtein_search_many")
+        dist_d, mins_d = myers_search_block_mins(
+            jax.device_put(nchar),
+            jax.device_put(seg_t),
+            needle_len=m,
+            width=width,
+            seg_len=seg_len,
+            anchored=False,
+            num_needles=NUM,
+            interpret=jax.default_backend() != "tpu",
+        )
+        OUT = seg_len + 1
+        mins = np.asarray(mins_d)
+        rb, cols = np.nonzero(mins <= k)
+        per_needle_hits: List[List[Tuple[int, int]]] = [[] for _ in idxs]
+        if rb.size:
+            pad_n = round_up_pow2(rb.size, 8)
+            rb_p = np.empty(pad_n, np.int32)
+            cols_p = np.empty(pad_n, np.int32)
+            rb_p[: rb.size], rb_p[rb.size :] = rb, rb[-1]
+            cols_p[: cols.size], cols_p[cols.size :] = cols, cols[-1]
+            blocks = np.asarray(myers_gather_blocks(dist_d, rb_p, cols_p))
+            for bi in range(rb.size):
+                col = int(cols[bi])
+                g, lane = divmod(col, 128)
+                for off, d in enumerate(blocks[bi]):
+                    if d > k:
+                        continue
+                    r = int(rb[bi]) * MS_BLOCK + off
+                    ni, rem = divmod(r, G * OUT)
+                    u, t = divmod(rem, OUT)
+                    if ni >= NUM or u >= G:
+                        continue
+                    c = g * (G * 128) + u * 128 + lane
+                    if c >= C:
+                        continue
+                    if (halo < t <= halo + own_len) or (
+                        c == 0 and t == halo
+                    ):
+                        gpos = c * own_len - halo + t
+                        if 0 <= gpos <= n:
+                            per_needle_hits[ni].append((gpos, int(d)))
+        span = min(window_span(m, k, costs.gap_cost, costs.start_gap_cost), n)
+        for slot, i in enumerate(idxs):
+            hits = per_needle_hits[slot]
+            if len(hits) > max(512, (n + 1) // 64):
+                results[i] = levenshtein_search_simd_with_opts(
+                    needles[i], haystack, k, search_type, costs, False
+                )
+                continue
+            hits.sort()
+            cands = [
+                (p, d, _hit_length(needles[i], haystack, p, k, costs, span))
+                for p, d in hits
+            ]
+            results[i] = _postprocess_sparse(cands, k, search_type)
+    return results  # type: ignore[return-value]
 
 
 def levenshtein_search_simd(needle: BytesLike, haystack: BytesLike) -> List[Match]:

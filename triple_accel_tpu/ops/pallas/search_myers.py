@@ -79,10 +79,14 @@ UNROLL = 4  # haystack chars per loop iteration (MXU/VPU overlap)
 def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
     m = needle_len
     NW, SG, G, WIN = myers_search_plan(m)
+    WINP = _round_up(WIN, 8)  # needle-band rows (8-divisible block rows)
     wS, offS = (m - 1) // WORD, (m - 1) % WORD
     mtop = m - WORD * (NW - 1)
     assert seg_len % UNROLL == 0
-    OUT = seg_len + 1
+    # block rows must be 8-divisible for multi-needle (per-needle-block)
+    # output indexing; rows in [seg_len+1, OUT) are never written and the
+    # caller slices them off
+    OUT = _round_up(seg_len + 1, 8)
 
     def kernel(nchar_ref, seg_ref, out_ref):
         # nchar_ref: [WIN, LANES]      needle chars on sublanes (-1 padded),
@@ -132,8 +136,8 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
         # dot (unlike lev_myers): the fused variant materializes a G*WIN
         # concat each step, which outweighs the saved MXU dispatches for
         # these tiny windows
-        wr = lax.broadcasted_iota(jnp.int32, (8, WIN), 0)
-        wc = lax.broadcasted_iota(jnp.int32, (8, WIN), 1)
+        wr = lax.broadcasted_iota(jnp.int32, (8, WINP), 0)
+        wc = lax.broadcasted_iota(jnp.int32, (8, WINP), 1)
 
         def eq_weights(u):
             t = wc - WORD * (wr - u * SG)
@@ -200,49 +204,65 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("needle_len", "width", "seg_len", "anchored", "interpret"),
+    static_argnames=(
+        "needle_len", "width", "seg_len", "anchored", "num_needles",
+        "interpret",
+    ),
 )
 def myers_search_pallas(
-    nchar: jnp.ndarray,  # [WIN, LANES] int32 needle chars, lane-replicated
-    seg_t: jnp.ndarray,  # [G*width, BG] int32 text segments (-2 padded)
+    nchar: jnp.ndarray,  # [num_needles*WIN, LANES] int32 needle chars,
+    #                      lane-replicated, one WIN-row band per needle
+    seg_t: jnp.ndarray,  # [G*width, BG] int32/uint8 text segments
     *,
     needle_len: int,
     width: int,
     seg_len: int,
     anchored: bool = False,
+    num_needles: int = 1,
     interpret: bool = False,
 ):
     """Per-end-position search distances D[needle_len][j], j in [0, seg_len],
-    for every segment.  Returns [G*(seg_len+1), BG] int32; segment c lives
-    at block u = (c % (G*128)) // 128 rows, column (c // (G*128))*128 + lane.
+    for every (needle, segment) pair.  Returns
+    [num_needles*G*(seg_len+1), BG] int32: needle n's results occupy rows
+    [n*G*(seg_len+1), (n+1)*G*(seg_len+1)); within them, segment c lives
+    at block u = (c % (G*128)) // 128 rows, column (c // (G*128))*128+lane.
+
+    Multi-needle search ("dictionary" mode, beyond the reference's scope):
+    the grid is (num_needles, segment blocks) — the haystack is uploaded
+    and held ONCE and every needle of the same length class sweeps it in
+    one launch.
     """
     # pad the step count to the unroll factor; rows past seg_len carry
     # zero-extension garbage that callers never map to owned positions
     SL = _round_up(seg_len, UNROLL)
     kernel, NW, SG, G, WIN = _make_kernel(needle_len, width, SL, anchored)
+    WINP = _round_up(WIN, 8)
     BG = seg_t.shape[1]
     assert BG % LANES == 0 and seg_t.shape[0] == G * width
+    assert nchar.shape == (num_needles * WINP, LANES)
     assert SL <= width, (SL, width)
-    OUT = SL + 1
+    OUT = _round_up(SL + 1, 8)
     # segments may arrive as uint8 (4x less host->device traffic); the
     # kernel compares against int32 needle chars, so widen on device first
     seg_t = seg_t.astype(jnp.int32)
     out = pl.pallas_call(
         kernel,
-        grid=(BG // LANES,),
+        grid=(num_needles, BG // LANES),
         in_specs=[
-            pl.BlockSpec((WIN, LANES), lambda g: (0, 0),
+            pl.BlockSpec((WINP, LANES), lambda n, g: (n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * width, LANES), lambda g: (0, g),
+            pl.BlockSpec((G * width, LANES), lambda n, g: (0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G * OUT, LANES), lambda g: (0, g),
+        out_specs=pl.BlockSpec((G * OUT, LANES), lambda n, g: (n, g),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G * OUT, BG), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((num_needles * G * OUT, BG),
+                                       jnp.int32),
         interpret=interpret,
     )(nchar, seg_t)
-    if SL != seg_len:
-        out = out.reshape(G, OUT, BG)[:, : seg_len + 1].reshape(-1, BG)
+    if OUT != seg_len + 1:
+        out = out.reshape(num_needles * G, OUT, BG)[:, : seg_len + 1]
+        out = out.reshape(-1, BG)
     return out
 
 
@@ -271,7 +291,7 @@ BLOCK = 512  # rows per candidate block in the two-phase hit fetch
 
 
 @partial(jax.jit, static_argnames=("needle_len", "width", "seg_len",
-                                   "anchored", "interpret"))
+                                   "anchored", "num_needles", "interpret"))
 def myers_search_block_mins(
     nchar: jnp.ndarray,
     seg_t: jnp.ndarray,
@@ -280,6 +300,7 @@ def myers_search_block_mins(
     width: int,
     seg_len: int,
     anchored: bool = False,
+    num_needles: int = 1,
     interpret: bool = False,
 ):
     """Phase 1 of the two-phase hit fetch: run the search kernel, leave the
@@ -290,7 +311,8 @@ def myers_search_block_mins(
     row-blocks that can contain hits (myers_gather_blocks)."""
     dist = myers_search_pallas(
         nchar, seg_t, needle_len=needle_len, width=width,
-        seg_len=seg_len, anchored=anchored, interpret=interpret,
+        seg_len=seg_len, anchored=anchored, num_needles=num_needles,
+        interpret=interpret,
     )
     R = dist.shape[0]
     pad = (-R) % BLOCK
@@ -309,6 +331,23 @@ def myers_gather_blocks(dist: jnp.ndarray, row_block: jnp.ndarray,
     dp = jnp.pad(dist, ((0, pad), (0, 0)), constant_values=1 << 30)
     dp = dp.reshape(-1, BLOCK, dist.shape[1])
     return dp[row_block, :, col]
+
+
+def prepare_myers_needles(needles, needle_len: int) -> np.ndarray:
+    """Stack same-length needles into the [num*WIN, LANES] layout the
+    multi-needle kernel expects (each needle's chars on its own WIN-row
+    band, replicated across lanes)."""
+    plan = myers_search_plan(needle_len)
+    assert plan is not None
+    WINP = _round_up(plan[3], 8)
+    num = len(needles)
+    nchar = np.full((num * WINP, LANES), -1, dtype=np.int32)
+    for i, nd in enumerate(needles):
+        assert len(nd) == needle_len
+        nchar[i * WINP : i * WINP + needle_len, :] = np.asarray(
+            nd, dtype=np.int32
+        )[:, None]
+    return nchar
 
 
 def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
@@ -332,7 +371,7 @@ def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
     BG = max(_round_up(max(-(-C0 // G), 1), LANES), 2 * LANES)
     nG = BG // LANES
 
-    nchar = np.full((WIN, LANES), -1, dtype=np.int32)
+    nchar = np.full((_round_up(WIN, 8), LANES), -1, dtype=np.int32)
     nchar[:m, :] = np.asarray(needle, dtype=np.int32)[:, None]
 
     # vectorized grouped transpose: segment c = g*(G*128) + u*128 + lane
