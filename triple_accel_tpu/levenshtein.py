@@ -778,9 +778,9 @@ def levenshtein_search_simd_with_opts(
             return _postprocess_sparse(cands, k, search_type)
         # dense hits: fall through to the length-tracking engine below
     effective_n = iter_len
-    # the Pallas path favors many 128-lane chunks; the scan path favors
-    # fewer, longer segments (its per-step work is already batched)
-    chunk_target = 512 if use_pallas else 4096
+    # longer segments amortize halo overlap and host-side prep; the
+    # pallas kernel's VMEM budget comfortably fits 4096-char segments
+    chunk_target = 4096
     if effective_n <= chunk_target or anchored:
         own_len = round_up_pow2(max(effective_n, 1), 16)
     else:
@@ -808,22 +808,57 @@ def levenshtein_search_simd_with_opts(
         import jax
 
         from .ops.pallas.search_kernel import (
+            SBLOCK,
             prepare_search_pallas_inputs,
-            search_pallas,
+            search_gather_blocks,
+            search_pallas_block_mins,
         )
 
         nchar, nprev, seg_t, n2, off2, C0 = prepare_search_pallas_inputs(
             needle.astype(np.int32), seg_pad, seg_n, seg_off
         )
-        dist_seg, len_seg = search_pallas(
+        d_dev, l_dev, mins_d = search_pallas_block_mins(
             nchar, nprev, seg_t, n2, off2,
             needle_len=m, seg_len=seg_len, costs_t=_costs_tuple(costs),
             anchored=anchored,
             interpret=jax.default_backend() != "tpu",
         )
-        dist_seg = np.asarray(dist_seg)[:C0]
-        len_seg = np.asarray(len_seg)[:C0]
-    else:
+        # two-phase fetch: block minima first, then only candidate blocks
+        # (full per-position (dist, len) fetches cost 8 bytes per haystack
+        # byte, dominating everything on slow host links)
+        mins = np.asarray(mins_d)[:C0]
+        segs_c, blks_c = np.nonzero(mins <= k)
+        hits: List[Tuple[int, int, int]] = []  # (end, dist, length)
+        if segs_c.size:
+            pad_n = round_up_pow2(segs_c.size, 8)
+            sp = np.empty(pad_n, np.int32)
+            bp = np.empty(pad_n, np.int32)
+            sp[: segs_c.size], sp[segs_c.size :] = segs_c, segs_c[-1]
+            bp[: blks_c.size], bp[blks_c.size :] = blks_c, blks_c[-1]
+            dblk, lblk = search_gather_blocks(d_dev, l_dev, sp, bp)
+            dblk = np.asarray(dblk)
+            lblk = np.asarray(lblk)
+            for bi in range(segs_c.size):
+                c = int(segs_c[bi])
+                o = int(own_start[c])
+                s0 = int(seg_off[c])
+                lo_local = o - s0
+                hi_local = min(int(seg_n[c]), lo_local + own_len)
+                base = int(blks_c[bi]) * SBLOCK
+                for off in np.flatnonzero(dblk[bi] <= k):
+                    t = base + int(off)
+                    if t == 0:
+                        if c == 0:
+                            hits.append((0, int(dblk[bi][off]),
+                                         int(lblk[bi][off])))
+                        continue
+                    if lo_local + 1 <= t <= hi_local and s0 + t <= iter_len:
+                        hits.append((s0 + t, int(dblk[bi][off]),
+                                     int(lblk[bi][off])))
+        hits.sort()
+        return _postprocess_sparse(hits, k, search_type)
+
+    if True:
         dist_seg, len_seg = search_scan(
             needle.astype(np.int32),
             seg_pad,

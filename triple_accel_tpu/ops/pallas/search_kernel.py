@@ -33,7 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..band_scan import INF
 
-__all__ = ["search_pallas", "LANES"]
+__all__ = [
+    "search_pallas",
+    "search_pallas_block_mins",
+    "search_gather_blocks",
+    "SBLOCK",
+    "LANES",
+]
 
 LANES = 128
 
@@ -77,10 +83,10 @@ def _make_kernel(m: int, mP: int, seg_len: int,
         def shift_down(x, fill):
             return jnp.where(j_iota == 0, fill, pltpu.roll(x, shift=1, axis=0))
 
-        def body(t, _):
-            s1 = (t - 1) % 4  # D[t-1]
-            s2 = (t - 2) % 4  # D[t-2]
-            s0 = t % 4        # D[t-4] — and where D[t] is written
+        def step(t, s0, s1, s2):
+            # s0/s1/s2 are STATIC ring slots: dynamic (traced) slot indices
+            # into VMEM scratch lower to per-access relayout copies and made
+            # this kernel ~100x slower
             dp1 = dpr[s1]
             len1 = lnr[s1]
 
@@ -164,15 +170,21 @@ def _make_kernel(m: int, mP: int, seg_len: int,
             dpr[s0] = dp
             lnr[s0] = ln
 
-            # emit row m for this diagonal (position i = t - m)
-            @pl.when(t >= m)
+            # emit row m for this diagonal (position i = t - m); the
+            # unrolled tail may step past T
+            @pl.when((t >= m) & (t <= T))
             def _():
                 outd_ref[pl.ds(t - m, 1), :] = dp[m : m + 1, :]
                 outl_ref[pl.ds(t - m, 1), :] = ln[m : m + 1, :]
 
+        def body(tt, _):
+            t0 = 4 * (tt - 1) + 1
+            for r in range(4):
+                # t = t0 + r; t mod 4 == (1 + r) mod 4 — static slots
+                step(t0 + r, (1 + r) % 4, r % 4, (r + 3) % 4)
             return 0
 
-        lax.fori_loop(1, T + 1, body, 0)
+        lax.fori_loop(1, -(-T // 4) + 1, body, 0)
 
     return kernel
 
@@ -205,6 +217,8 @@ def search_pallas(
     assert C % LANES == 0
     width = seg_t.shape[0]
     out_rows = _round_up(seg_len + 1, 8)
+    # segments may arrive as uint8 (4x less host->device traffic)
+    seg_t = seg_t.astype(jnp.int32)
 
     kernel = _make_kernel(m, mP, seg_len, costs_t, anchored)
     outd, outl = pl.pallas_call(
@@ -246,6 +260,52 @@ def search_pallas(
     return outd[: seg_len + 1].T, outl[: seg_len + 1].T
 
 
+SBLOCK = 512  # end positions per candidate block in the two-phase fetch
+
+
+@partial(
+    jax.jit,
+    static_argnames=("needle_len", "seg_len", "costs_t", "anchored",
+                     "interpret"),
+)
+def search_pallas_block_mins(
+    nchar, nprev, seg_t, seg_n, seg_off,
+    *,
+    needle_len: int,
+    seg_len: int,
+    costs_t: Tuple[int, int, int, int, bool],
+    anchored: bool,
+    interpret: bool = False,
+):
+    """Two-phase fetch, phase 1: run the search kernel, keep the (dist, len)
+    arrays on device and return per-SBLOCK distance minima (tiny) so the
+    host can fetch only blocks containing hits — full per-position fetches
+    cost 8 bytes per haystack byte and dominate on slow host links."""
+    d, l = search_pallas(
+        nchar, nprev, seg_t, seg_n, seg_off,
+        needle_len=needle_len, seg_len=seg_len, costs_t=costs_t,
+        anchored=anchored, interpret=interpret,
+    )
+    C, P = d.shape
+    pad = (-P) % SBLOCK
+    dp = jnp.pad(d, ((0, 0), (0, pad)), constant_values=INF)
+    mins = jnp.min(dp.reshape(C, -1, SBLOCK), axis=2)
+    return d, l, mins
+
+
+@jax.jit
+def search_gather_blocks(d: jnp.ndarray, l: jnp.ndarray,
+                         seg_idx: jnp.ndarray, blk_idx: jnp.ndarray):
+    """Phase 2: fetch SBLOCK-sized (dist, len) slices of candidate cells."""
+    C, P = d.shape
+    pad = (-P) % SBLOCK
+    dp = jnp.pad(d, ((0, 0), (0, pad)), constant_values=INF)
+    lp = jnp.pad(l, ((0, 0), (0, pad)))
+    dp = dp.reshape(C, -1, SBLOCK)
+    lp = lp.reshape(C, -1, SBLOCK)
+    return dp[seg_idx, blk_idx], lp[seg_idx, blk_idx]
+
+
 def prepare_search_pallas_inputs(needle: np.ndarray, seg_pad: np.ndarray,
                                  seg_n: np.ndarray, seg_off: np.ndarray):
     """Adapt chunk_haystack outputs ([C, width] row-major) to the kernel's
@@ -263,8 +323,10 @@ def prepare_search_pallas_inputs(needle: np.ndarray, seg_pad: np.ndarray,
     nchar = np.repeat(npad[1 : 1 + mP, None], LANES, axis=1).astype(np.int32)
     nprev = np.repeat(npad[0:mP, None], LANES, axis=1).astype(np.int32)
 
-    seg_t = np.full((width, C), -1, dtype=np.int32)
-    seg_t[:width0, :C0] = seg_pad.T
+    # uint8 upload (4x less traffic); pad -1 wraps to 255, which is only
+    # ever read at positions the validity mask already excludes
+    seg_t = np.full((width, C), 255, dtype=np.uint8)
+    seg_t[:width0, :C0] = seg_pad.T.astype(np.uint8)
     n2 = np.zeros((1, C), dtype=np.int32)
     n2[0, :C0] = seg_n
     off2 = np.zeros((1, C), dtype=np.int32)
