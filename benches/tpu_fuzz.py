@@ -1,0 +1,106 @@
+"""Extended differential fuzz: every public path vs the scalar oracle.
+
+Run manually on the real TPU (`python benches/tpu_fuzz.py`) — the pytest
+suite covers the same paths in interpret mode; this drives the COMPILED
+kernels.  Exits nonzero on any mismatch."""
+import sys
+import numpy as np
+from triple_accel_tpu import SearchType, EditCosts, LEVENSHTEIN_COSTS, RDAMERAU_COSTS
+from triple_accel_tpu.levenshtein import (
+    levenshtein_k_batch, levenshtein_search_simd_with_opts,
+    levenshtein_simd_k_with_opts, levenshtein_search_many)
+from triple_accel_tpu.hamming import hamming_search_simd_with_opts, hamming_simd_parallel
+from triple_accel_tpu.oracle import (
+    levenshtein_naive_k_with_opts, levenshtein_search_naive_with_opts,
+    hamming_search_naive_with_opts, hamming_naive)
+
+rng = np.random.default_rng(20260816)
+bad = 0
+
+# 1. batched distances, mixed ks and cost models
+for trial in range(6):
+    costs = [LEVENSHTEIN_COSTS, RDAMERAU_COSTS, EditCosts(2,1,2,None), EditCosts(3,2,1,2)][trial % 4]
+    k = int(rng.integers(1, 60))
+    a_list, b_list = [], []
+    for _ in range(64):
+        ln = int(rng.integers(0, 150))
+        a = rng.integers(65, 72, ln).astype(np.uint8)
+        b = list(a)
+        for _ in range(int(rng.integers(0, 12))):
+            op = rng.integers(0, 3)
+            if op == 0 and b: b[rng.integers(0, len(b))] = rng.integers(65, 72)
+            elif op == 1: b.insert(int(rng.integers(0, len(b)+1)), int(rng.integers(65, 72)))
+            elif op == 2 and b: del b[rng.integers(0, len(b))]
+        a_list.append(a); b_list.append(np.array(b, np.uint8))
+    got = levenshtein_k_batch(a_list, b_list, k, costs)
+    for i in range(64):
+        ref = levenshtein_naive_k_with_opts(a_list[i], b_list[i], k, False, costs)
+        exp = -1 if ref is None else ref[0]
+        if int(got[i]) != exp:
+            bad += 1; print(f"DIST t{trial} i{i}: got {got[i]} exp {exp} k={k} costs={costs}")
+print("distance fuzz done")
+
+# 2. searches, all cost models / types / anchored
+for trial in range(10):
+    costs = [LEVENSHTEIN_COSTS, RDAMERAU_COSTS, EditCosts(2,1,1,None)][trial % 3]
+    st = SearchType.All if trial % 2 else SearchType.Best
+    anchored = (trial % 5 == 4)
+    m = int(rng.integers(1, 40))
+    n = int(rng.integers(0, 800))
+    needle = rng.integers(65, 70, m).astype(np.uint8)
+    hay = rng.integers(65, 70, n).astype(np.uint8)
+    if n > m and rng.integers(0, 2):
+        p = int(rng.integers(0, n - m)); hay[p:p+m] = needle
+    k = int(rng.integers(0, m + 3))
+    got = levenshtein_search_simd_with_opts(needle, hay, k, st, costs, anchored)
+    exp = levenshtein_search_naive_with_opts(needle, hay, k, st, costs, anchored)
+    if got != exp:
+        bad += 1; print(f"SEARCH t{trial}: m={m} n={n} k={k} {st} {costs} anch={anchored}\n got {got[:4]}\n exp {exp[:4]}")
+print("search fuzz done")
+
+# 3. hamming
+for trial in range(6):
+    m = int(rng.integers(1, 30)); n = int(rng.integers(m, 2000))
+    needle = rng.integers(65, 70, m).astype(np.uint8)
+    hay = rng.integers(65, 70, n).astype(np.uint8)
+    k = int(rng.integers(0, m + 1))
+    st = SearchType.All if trial % 2 else SearchType.Best
+    got = hamming_search_simd_with_opts(needle, hay, k, st)
+    exp = hamming_search_naive_with_opts(needle, hay, k, st)
+    if got != exp:
+        bad += 1; print(f"HAM t{trial}: {got[:4]} vs {exp[:4]}")
+    a = rng.integers(0, 256, 500).astype(np.uint8); b = a.copy(); b[rng.integers(0, 500, 9)] ^= 1
+    if hamming_simd_parallel(a, b) != hamming_naive(a, b):
+        bad += 1; print("HAM dist mismatch")
+print("hamming fuzz done")
+
+# 4. dictionary search mixed lengths
+hay = rng.integers(65, 70, 600).astype(np.uint8)
+needles = [rng.integers(65, 70, int(rng.integers(1, 30))).astype(np.uint8) for _ in range(12)]
+many = levenshtein_search_many(needles, hay, 2, SearchType.Best)
+for i, nd in enumerate(needles):
+    exp = levenshtein_search_naive_with_opts(nd, hay, 2, SearchType.Best, LEVENSHTEIN_COSTS, False)
+    if many[i] != exp:
+        bad += 1; print(f"MANY i{i}: {many[i][:3]} vs {exp[:3]}")
+print("dict fuzz done")
+
+# 5. tracebacks
+for trial in range(8):
+    costs = [LEVENSHTEIN_COSTS, RDAMERAU_COSTS][trial % 2]
+    ln = int(rng.integers(1, 80))
+    a = rng.integers(65, 70, ln).astype(np.uint8)
+    b = list(a)
+    for _ in range(int(rng.integers(0, 6))):
+        op = rng.integers(0, 3)
+        if op == 0 and b: b[rng.integers(0, len(b))] = rng.integers(65, 70)
+        elif op == 1: b.insert(int(rng.integers(0, len(b)+1)), int(rng.integers(65, 70)))
+        elif op == 2 and b: del b[rng.integers(0, len(b))]
+    b = np.array(b, np.uint8)
+    got = levenshtein_simd_k_with_opts(a, b, 1000, True, costs)
+    exp = levenshtein_naive_k_with_opts(a, b, 1000, True, costs)
+    if got != exp:
+        bad += 1; print(f"TRACE t{trial}: {got} vs {exp}")
+print("trace fuzz done")
+print(f"FUZZ TOTAL: {bad} mismatches")
+
+sys.exit(1 if bad else 0)
