@@ -79,3 +79,48 @@ def test_pallas_search_small_cases():
     assert got == levenshtein_search_naive_with_opts(
         b"abc", b"", 5, SearchType.All, LEVENSHTEIN_COSTS, False
     )
+
+
+def test_pallas_search_nul_needle():
+    # Needles containing 0x00 must not match chunk 0's synthetic zero-pad
+    # halo (chunk_raw): hits are oracle-verified and artifacts dropped.
+    from triple_accel_tpu.levenshtein import levenshtein_search_many
+
+    cases = [
+        (b"\x00\x00a", b"abcabc", 0),
+        (b"\x00\x00a", b"abcabc", 1),
+        (b"a\x00b", b"a\x00b xyz a_b", 1),
+        (b"\x00\x00\x00", b"\x00\x00\x00rest", 0),
+    ]
+    for needle, hay, k in cases:
+        for st in (SearchType.All, SearchType.Best):
+            ref = levenshtein_search_naive_with_opts(
+                needle, hay, k, st, LEVENSHTEIN_COSTS, False
+            )
+            with _forced("pallas"):
+                got = levenshtein_search_simd_with_opts(
+                    needle, hay, k, st, LEVENSHTEIN_COSTS, False
+                )
+            assert got == ref, (needle, hay, k, st)
+            with _forced("pallas"):
+                got_many = levenshtein_search_many([needle], hay, k, st)
+            assert got_many == [ref], (needle, hay, k, st)
+
+
+def test_pallas_search_nul_differential():
+    # random alphabet including 0x00, vs the oracle, both engines
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        m = int(rng.integers(2, 12))
+        n = int(rng.integers(20, 400))
+        needle = rng.integers(0, 4, m).astype(np.uint8)
+        haystack = rng.integers(0, 4, n).astype(np.uint8)
+        k = int(rng.integers(0, 3))
+        ref = levenshtein_search_naive_with_opts(
+            needle, haystack, k, SearchType.All, LEVENSHTEIN_COSTS, False
+        )
+        with _forced("pallas"):
+            got = levenshtein_search_simd_with_opts(
+                needle, haystack, k, SearchType.All, LEVENSHTEIN_COSTS, False
+            )
+        assert got == ref, (trial, needle.tobytes(), k)

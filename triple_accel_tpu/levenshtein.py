@@ -587,27 +587,35 @@ def _empty_needle_matches(
     return res
 
 
-def _hit_length(
+def _hit_resolve(
     needle: np.ndarray,
     haystack: np.ndarray,
     j: int,
     k: int,
     costs: EditCosts,
     span: int,
-) -> int:
-    """Recover the reference's maximize-length tie-break (jewel.rs:364-417)
-    at one end position with dist <= k, by replaying the scalar oracle on a
-    window no larger than the maximal match span.  Exact: the oracle IS the
-    tie-break semantics, and a cost-<=k match spans at most window_span
-    chars, so the window always contains the full match."""
+) -> Optional[Tuple[int, int]]:
+    """Resolve one kernel hit (end position j, device dist <= k) into the
+    authoritative (dist, length) by replaying the scalar oracle on a window
+    no larger than the maximal match span.  Exact: the oracle IS the
+    tie-break semantics (jewel.rs:364-417), and a cost-<=k match spans at
+    most window_span chars, so the window always contains the full match.
+
+    Returns None when the oracle finds no match ending at j — which means
+    the kernel hit was an artifact (the one known source: NUL needle bytes
+    matching chunk 0's synthetic zero-pad halo in the Myers search path,
+    see ops/pallas/search_myers.chunk_raw) and must be dropped.  The
+    oracle's distance is returned rather than the kernel's for the same
+    reason: pad contamination can only lower the kernel's value, never
+    raise it, so the replay is authoritative in both directions."""
     w0 = max(0, j - span)
     window = haystack[w0:j]
     for mt in levenshtein_search_naive_with_opts(
         needle, window, k, SearchType.All, costs, False
     ):
         if mt.end == j - w0:
-            return mt.end - mt.start
-    return 0
+            return mt.k, mt.end - mt.start
+    return None
 
 
 def _postprocess_sparse(
@@ -747,10 +755,9 @@ def levenshtein_search_simd_with_opts(
             for bi in range(rb.size):
                 col = int(cols[bi])
                 g, lane = divmod(col, 128)
-                for off, d in enumerate(blocks[bi]):
-                    if d > k:
-                        continue
-                    r = int(rb[bi]) * MS_BLOCK + off
+                for off in np.flatnonzero(blocks[bi] <= k):
+                    d = blocks[bi][off]
+                    r = int(rb[bi]) * MS_BLOCK + int(off)
                     u, t = divmod(r, OUT)
                     if u >= G:
                         continue
@@ -771,10 +778,11 @@ def levenshtein_search_simd_with_opts(
             span = min(
                 window_span(m, k, costs.gap_cost, costs.start_gap_cost), n
             )
-            cands = [
-                (p, d, _hit_length(needle, haystack, p, k, costs, span))
-                for p, d in hits
-            ]
+            cands = []
+            for p, _ in hits:
+                resolved = _hit_resolve(needle, haystack, p, k, costs, span)
+                if resolved is not None:
+                    cands.append((p, resolved[0], resolved[1]))
             return _postprocess_sparse(cands, k, search_type)
         # dense hits: fall through to the length-tracking engine below
     effective_n = iter_len
@@ -858,19 +866,18 @@ def levenshtein_search_simd_with_opts(
         hits.sort()
         return _postprocess_sparse(hits, k, search_type)
 
-    if True:
-        dist_seg, len_seg = search_scan(
-            needle.astype(np.int32),
-            seg_pad,
-            seg_n,
-            seg_off,
-            needle_len=m,
-            seg_len=seg_len,
-            costs_t=_costs_tuple(costs),
-            anchored=anchored,
-        )
-        dist_seg = np.asarray(dist_seg)
-        len_seg = np.asarray(len_seg)
+    dist_seg, len_seg = search_scan(
+        needle.astype(np.int32),
+        seg_pad,
+        seg_n,
+        seg_off,
+        needle_len=m,
+        seg_len=seg_len,
+        costs_t=_costs_tuple(costs),
+        anchored=anchored,
+    )
+    dist_seg = np.asarray(dist_seg)
+    len_seg = np.asarray(len_seg)
 
     # stitch owned ranges into global per-end-position arrays
     dists = np.full(iter_len + 1, np.int64(1) << 40, dtype=np.int64)
@@ -992,10 +999,9 @@ def levenshtein_search_many(
             for bi in range(rb.size):
                 col = int(cols[bi])
                 g, lane = divmod(col, 128)
-                for off, d in enumerate(blocks[bi]):
-                    if d > k:
-                        continue
-                    r = int(rb[bi]) * MS_BLOCK + off
+                for off in np.flatnonzero(blocks[bi] <= k):
+                    d = blocks[bi][off]
+                    r = int(rb[bi]) * MS_BLOCK + int(off)
                     ni, rem = divmod(r, G * OUT)
                     u, t = divmod(rem, OUT)
                     if ni >= NUM or u >= G:
@@ -1018,10 +1024,11 @@ def levenshtein_search_many(
                 )
                 continue
             hits.sort()
-            cands = [
-                (p, d, _hit_length(needles[i], haystack, p, k, costs, span))
-                for p, d in hits
-            ]
+            cands = []
+            for p, _ in hits:
+                resolved = _hit_resolve(needles[i], haystack, p, k, costs, span)
+                if resolved is not None:
+                    cands.append((p, resolved[0], resolved[1]))
             results[i] = _postprocess_sparse(cands, k, search_type)
     return results  # type: ignore[return-value]
 

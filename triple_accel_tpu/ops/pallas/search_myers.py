@@ -274,9 +274,15 @@ def chunk_raw(hay: np.ndarray, halo: int, own_len: int):
     i.e. global positions [c*own_len - halo, c*own_len + own_len) with
     zero padding outside the haystack.  Uniform convention: local index t
     maps to global position c*own_len - halo + t; segment c owns global
-    end positions [c*own_len, c*own_len + own_len].  Zero pad bytes can
-    only influence distances at non-owned positions (windows of owned
-    positions lie fully inside the real data by the halo construction).
+    end positions [c*own_len, c*own_len + own_len].
+
+    Pad-byte caveat: for chunks c >= 1 the halo region holds real haystack
+    data, so pad bytes only influence non-owned positions; chunk 0's FRONT
+    halo is synthetic zeros, so a needle containing 0x00 can match it and
+    deflate distances at owned positions gpos <= halo.  Callers must
+    therefore re-verify every hit against the scalar oracle
+    (levenshtein._hit_resolve), which drops artifacts and restores the
+    true distance.
     """
     n = len(hay)
     num = max(1, -(-n // own_len))
