@@ -1,0 +1,161 @@
+"""Scaling benchmark on a virtual device mesh (SURVEY.md §7 step 8).
+
+Real multi-chip hardware is not available in this environment, and this
+host has a SINGLE physical core — so 8 virtual CPU devices timeshare one
+core and genuine speedup is physically impossible here.  What a virtual
+mesh CAN measure honestly is **sharding overhead**: run the SAME TOTAL
+work unsharded (mesh size 1) and sharded (mesh size 8); if the sharded
+program adds nothing (no serialization, no hidden replication, halo
+exchange and psum collectives compile away), the ratio t(1)/t(8) is ~1.0.
+On real multi-chip hardware the same code paths measure the fabric, and
+the BASELINE.md ≥85% weak-scaling bar applies there.
+
+Two paths are measured, matching BASELINE.md's headline metrics:
+
+* DP distance (`sharded_distance_step`): a pair batch sharded over the
+  mesh, zero collectives on the hot path.
+* SP search (`sharded_search_step`): one haystack sharded over the mesh
+  with a ppermute halo exchange (the ring/CP pattern).
+
+Prints ONE JSON line; `value` is the worse of the two overhead
+efficiencies in percent.  Raw weak-scaling rates (constant per-device
+work) are included for completeness — on this 1-core host they are
+dominated by timesharing, not the program.  bench.py invokes this as a
+subprocess and merges the numbers into the headline JSON.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def _setup():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ta_tpu_jax_cache")
+    # the axon TPU plugin latches JAX_PLATFORMS at import; override through
+    # the config API (same trick as tests/conftest.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+
+def _best_of(fn, n=3):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    _setup()
+    import jax
+    import numpy as np
+
+    from triple_accel_tpu.ops.band_scan import prepare_band_inputs
+    from triple_accel_tpu.parallel.mesh import make_mesh
+    from triple_accel_tpu.parallel.sharded import (
+        sharded_distance_step,
+        sharded_search_step,
+    )
+
+    ndev = len(jax.devices())
+    N = ndev
+    rng = np.random.default_rng(1234)
+    costs_t = (1, 1, 0, 0, False)
+
+    # --- DP distance: same TOTAL batch on mesh(1) vs mesh(N) --------------
+    B_TOTAL = int(os.environ.get("SCALE_PAIRS_TOTAL", "4096"))
+    STR_LEN, K, UNIT_K, MAX_M = 256, 16, 16, 256
+    a_list = [
+        rng.integers(33, 127, STR_LEN).astype(np.uint8) for _ in range(B_TOTAL)
+    ]
+    b_list = []
+    for a in a_list:
+        b = a.copy()
+        b[rng.permutation(STR_LEN)[: K // 2]] = 32
+        b_list.append(b)
+    a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(
+        a_list, b_list, UNIT_K, MAX_M
+    )
+
+    dist_t = {}
+    for D in (1, N):
+        mesh = make_mesh(jax.devices()[:D])
+
+        def run():
+            return np.asarray(
+                sharded_distance_step(
+                    mesh, a_pad, b_pad, m_arr, n_arr,
+                    unit_k=UNIT_K, max_m=MAX_M, costs_t=costs_t,
+                )
+            )
+
+        run()  # warm/compile
+        dist_t[D] = _best_of(run)
+    dist_overhead_eff = dist_t[1] / dist_t[N]
+    dist_rate = {D: B_TOTAL / t for D, t in dist_t.items()}
+
+    # --- SP search: same TOTAL haystack on mesh(1) vs mesh(N) -------------
+    n_total = int(os.environ.get("SCALE_HAYSTACK_TOTAL", str(1024 * 1024)))
+    n_total -= n_total % N
+    M, SK = 24, 3
+    halo = M + SK  # window_span(m, k, 1, 0)
+    hay = rng.integers(33, 127, n_total).astype(np.int32)
+    needle = rng.integers(33, 127, M).astype(np.int32)
+
+    search_t = {}
+    for D in (1, N):
+        S = n_total // D
+        shards = hay.reshape(D, S)
+        shard_n = np.full(D, S, dtype=np.int32)
+        mesh = make_mesh(jax.devices()[:D])
+
+        def run():
+            d, l = sharded_search_step(
+                mesh, needle, shards, shard_n,
+                needle_len=M, halo=halo, costs_t=costs_t,
+            )
+            return np.asarray(d)
+
+        run()  # warm/compile
+        search_t[D] = _best_of(run)
+    search_overhead_eff = search_t[1] / search_t[N]
+    search_rate = {D: n_total / t for D, t in search_t.items()}
+
+    value = round(min(dist_overhead_eff, search_overhead_eff) * 100, 1)
+    print(
+        json.dumps(
+            {
+                "metric": f"sharding_overhead_efficiency_1_to_{N}dev_virtual",
+                "value": value,
+                "unit": "percent",
+                "note": "equal total work, 1-core host: ~100 == sharded "
+                        "program adds no overhead; real-fabric scaling "
+                        "needs real chips",
+                "distance_overhead_efficiency": round(dist_overhead_eff, 3),
+                "search_overhead_efficiency": round(search_overhead_eff, 3),
+                "distance_pairs_per_sec": {
+                    str(d): round(v, 1) for d, v in dist_rate.items()
+                },
+                "search_bytes_per_sec": {
+                    str(d): round(v, 1) for d, v in search_rate.items()
+                },
+            }
+        )
+    )
+    print(
+        f"# ndev={N} host_cores={os.cpu_count()} "
+        f"dist t1={dist_t[1]:.3f}s tN={dist_t[N]:.3f}s "
+        f"({dist_overhead_eff:.0%}); "
+        f"search t1={search_t[1]:.3f}s tN={search_t[N]:.3f}s "
+        f"({search_overhead_eff:.0%})",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

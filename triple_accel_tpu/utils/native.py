@@ -23,6 +23,8 @@ __all__ = [
     "native_available",
     "postprocess_matches_native",
     "postprocess_hamming_native",
+    "scalar_banded_batch_native",
+    "myers_distance_batch_native",
 ]
 
 _LIB_NAME = "libta_native.so"
@@ -55,6 +57,20 @@ def _load() -> Optional[ctypes.CDLL]:
                 i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int64, i64p, i64p, i64p,
             ]
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            if hasattr(lib, "ta_scalar_banded_batch"):
+                lib.ta_scalar_banded_batch.restype = ctypes.c_int64
+                lib.ta_scalar_banded_batch.argtypes = [
+                    u8p, i64p, ctypes.c_int64, u8p, i64p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, i64p,
+                ]
+                lib.ta_myers_distance_batch.restype = ctypes.c_int64
+                lib.ta_myers_distance_batch.argtypes = [
+                    u8p, i64p, ctypes.c_int64, u8p, i64p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64, i64p,
+                ]
             return lib
     return None
 
@@ -112,3 +128,59 @@ def postprocess_hamming_native(
         Match(start=int(out_s[i]), end=int(out_e[i]), k=int(out_k[i]))
         for i in range(cnt)
     ]
+
+
+def _pack_batch(seqs) -> "tuple[np.ndarray, np.ndarray, int]":
+    from ..types import to_bytes_array
+
+    arrs = [to_bytes_array(s) for s in seqs]
+    lens = np.array([len(s) for s in arrs], dtype=np.int64)
+    stride = int(lens.max(initial=1))
+    buf = np.zeros((len(arrs), stride), dtype=np.uint8)
+    for i, s in enumerate(arrs):
+        buf[i, : len(s)] = s
+    return buf, lens, stride
+
+
+def scalar_banded_batch_native(a_list, b_list, k: int, costs) -> Optional[np.ndarray]:
+    """Compiled scalar banded distance batch (native/scalar_baseline.cpp) —
+    a C++ port of the oracle's banded DP, the honest compiled-CPU
+    comparator for bench.py's vs_baseline (the class the reference's own
+    "20-30x" SIMD claim is measured against, reference README.md:10).
+    Returns int64 distances (-1 over threshold), or None if not built."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ta_scalar_banded_batch"):
+        return None
+    a_buf, a_lens, a_stride = _pack_batch(a_list)
+    b_buf, b_lens, b_stride = _pack_batch(b_list)
+    out = np.empty(len(a_list), dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ta_scalar_banded_batch(
+        a_buf.ctypes.data_as(u8p), _as_i64_ptr(a_lens), a_stride,
+        b_buf.ctypes.data_as(u8p), _as_i64_ptr(b_lens), b_stride,
+        len(a_list), k,
+        costs.mismatch_cost, costs.gap_cost, costs.start_gap_cost,
+        costs.transpose_cost_or_zero, 1 if costs.allow_transpose else 0,
+        _as_i64_ptr(out),
+    )
+    return out
+
+
+def myers_distance_batch_native(a_list, b_list, k: int) -> Optional[np.ndarray]:
+    """Compiled bit-parallel Myers (64-bit words) unit-cost distance batch —
+    the strongest simple single-core CPU algorithm for this workload, used
+    as bench.py's "best CPU" comparator.  Returns int64 distances (-1 over
+    threshold), or None if the library isn't built."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ta_myers_distance_batch"):
+        return None
+    a_buf, a_lens, a_stride = _pack_batch(a_list)
+    b_buf, b_lens, b_stride = _pack_batch(b_list)
+    out = np.empty(len(a_list), dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ta_myers_distance_batch(
+        a_buf.ctypes.data_as(u8p), _as_i64_ptr(a_lens), a_stride,
+        b_buf.ctypes.data_as(u8p), _as_i64_ptr(b_lens), b_stride,
+        len(a_list), k, _as_i64_ptr(out),
+    )
+    return out
