@@ -74,3 +74,57 @@ def test_throughput_and_roofline():
     assert r["pairs_per_sec"] > 0
     est = kernel_cost_estimate(batch=16384, rows=1024, band=65)
     assert est["ideal_pairs_per_sec"] > 0
+
+
+def test_sweep_best_curr_k_shrinks(tmp_path):
+    # Best mode: the running minimum persists in the checkpoint and later
+    # slabs search with the shrunken threshold — results identical to the
+    # monolithic search.
+    import numpy as np
+    from triple_accel_tpu import SearchType, levenshtein_search
+    from triple_accel_tpu.levenshtein import levenshtein_search_simd_with_opts
+    from triple_accel_tpu.types import LEVENSHTEIN_COSTS
+
+    rng = np.random.default_rng(5)
+    hay = rng.integers(65, 70, 4000).astype(np.uint8)
+    needle = np.frombuffer(b"needle!x", np.uint8)
+    hay[3500:3508] = needle  # exact hit late: curr_k must already be small
+    hay[100:108] = needle
+    hay[102] = 65  # one-off early hit
+    ref = levenshtein_search_simd_with_opts(
+        needle, hay, 4, SearchType.Best, LEVENSHTEIN_COSTS, False
+    )
+    ck = str(tmp_path / "s.npz")
+    got = levenshtein_search_sweep(
+        needle, hay, 4, SearchType.Best, slab_chars=512, checkpoint_path=ck
+    )
+    assert got == ref
+
+
+def test_multihost_allgather_single_process():
+    from triple_accel_tpu.parallel.multihost import (
+        allgather_matches,
+        decode_matches,
+        encode_matches,
+    )
+    from triple_accel_tpu.types import Match
+
+    ms = [Match(1, 5, 2), Match(7, 9, 0)]
+    assert allgather_matches(ms) == ms
+    assert allgather_matches([]) == []
+    assert decode_matches(encode_matches(ms)) == ms
+
+
+def test_dump_lowered(tmp_path):
+    import numpy as np
+    from triple_accel_tpu.utils.inspect_ir import dump_lowered
+
+    def f(x):
+        return x * 2 + 1
+
+    p = str(tmp_path / "f.stablehlo.txt")
+    text = dump_lowered(f, np.ones(8, np.int32), path=p)
+    assert "stablehlo" in text or "module" in text
+    import os
+
+    assert os.path.getsize(p) > 0

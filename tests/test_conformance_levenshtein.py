@@ -208,3 +208,32 @@ def test_simd_k_doctests():
 def test_unicode_str_helpers():
     assert levenshtein_simd_k_str("héllo", "hèllo", 2) == 1
     assert levenshtein_simd_k_str("abc", "abc", 0) == 0
+
+
+def test_generic_alphabet_over_256_symbols():
+    # the reference's levenshtein_naive is generic over T: PartialEq
+    # (levenshtein.rs:148); >256 distinct symbols must work in the scalar
+    # oracle and in levenstein_naive_str.
+    import numpy as np
+
+    # 300 distinct unicode chars, one substitution + one deletion
+    chars = [chr(0x4E00 + i) for i in range(300)]
+    a = "".join(chars)
+    b = "".join(chars[:150] + ["X"] + chars[151:299])
+    assert levenstein_naive_str(a, b) == 2
+    assert levenstein_naive_str(a, a) == 0
+
+    # int32 symbol arrays straight into the oracle
+    a_sym = np.arange(1000, 1300, dtype=np.int32)
+    b_sym = a_sym.copy()
+    b_sym[7] = 5000
+    assert levenshtein_naive(a_sym, b_sym) == 1
+    res = levenshtein_naive_k_with_opts(a_sym, b_sym[:-2], 5, False)
+    assert res is not None and res[0] == 3
+
+    # translate_str keeps its reference contract: None above 256 distinct
+    from triple_accel_tpu.levenshtein import levenshtein_simd_k_str, translate_str
+
+    shared = []
+    assert translate_str(shared, a) is None
+    assert levenshtein_simd_k_str(a, b, 10) is None

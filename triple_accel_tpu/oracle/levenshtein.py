@@ -34,6 +34,7 @@ from ..types import (
     Match,
     SearchType,
     to_bytes_array,
+    to_symbol_array,
 )
 
 __all__ = [
@@ -116,9 +117,13 @@ def levenshtein_naive_with_opts(
     flips AGap/BGap back when swapped).  Traceback codes per cell:
     0 = substitution/match, 1 = consume b (AGap), 2 = consume a (BGap),
     3 = transpose; tie priority: transpose(<=) > sub(<=) > a-gap > b-gap.
+
+    Generic over the symbol alphabet like the reference (`T: PartialEq`,
+    levenshtein.rs:148): accepts any integer symbols (or str), not just
+    bytes — the DP only compares symbols for equality.
     """
-    a = to_bytes_array(a)
-    b = to_bytes_array(b)
+    a = to_symbol_array(a)
+    b = to_symbol_array(b)
     swap = len(a) > len(b)
     a_new, b_new = (b, a) if swap else (a, b)
     a_len, b_len = len(a_new), len(b_new)
@@ -225,9 +230,11 @@ def levenshtein_naive_k_with_opts(
     distance exceeds the capped threshold max_k.  Traceback codes:
     0 = sub, 1 = consume b (AGap), 2 = consume a (BGap), 3 = transpose; tie
     priority: transpose(<=) > sub > a-gap > b-gap.
+
+    Accepts any integer symbol alphabet (see `to_symbol_array`).
     """
-    a = to_bytes_array(a)
-    b = to_bytes_array(b)
+    a = to_symbol_array(a)
+    b = to_symbol_array(b)
     swap = len(a) > len(b)
     a_new, b_new = (b, a) if swap else (a, b)
     a_len, b_len = len(a_new), len(b_new)

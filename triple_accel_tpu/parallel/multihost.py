@@ -1,0 +1,72 @@
+"""Multi-host assembly of Match lists (SURVEY.md §2.5 collectives row).
+
+In a multi-host job each process searches only the haystack shards its
+local devices own; the global Match list is assembled by an all-gather
+across processes (`jax.experimental.multihost_utils.process_allgather`,
+the DCN-level collective SURVEY names).  Matches are encoded as an
+[n, 3] int64 array (start, end, k), zero-padded to the cross-process
+maximum count (process_allgather requires equal shapes), gathered, then
+trimmed and concatenated in process order — which preserves the global
+end-position order required by the Best streaming semantics as long as
+shards are assigned to processes in haystack order (the owner-by-end
+rule, parallel/sharded.py).
+
+On a single-process run (this environment, and any local session) the
+gather degenerates to the identity, so the function is exact and testable
+without a real multi-host job.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..types import Match
+
+__all__ = ["allgather_matches", "encode_matches", "decode_matches"]
+
+
+def encode_matches(matches: Sequence[Match]) -> np.ndarray:
+    """Matches -> [n, 3] int64 (start, end, k)."""
+    out = np.empty((len(matches), 3), dtype=np.int64)
+    for i, m in enumerate(matches):
+        out[i, 0], out[i, 1], out[i, 2] = m.start, m.end, m.k
+    return out
+
+
+def decode_matches(arr: np.ndarray) -> List[Match]:
+    """[n, 3] int64 -> Matches."""
+    return [
+        Match(start=int(s), end=int(e), k=int(kk)) for s, e, kk in arr
+    ]
+
+
+def allgather_matches(local_matches: Sequence[Match]) -> List[Match]:
+    """Assemble the global Match list across all JAX processes.
+
+    Every process passes the matches for its owned haystack shards (in
+    end-position order); every process returns the same concatenated
+    global list, ordered by process index.  Single-process: identity.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return list(local_matches)
+
+    from jax.experimental import multihost_utils
+
+    local = encode_matches(local_matches)
+    n_local = np.array([local.shape[0]], dtype=np.int64)
+    counts = np.asarray(multihost_utils.process_allgather(n_local)).reshape(-1)
+    cap = int(counts.max(initial=0))
+    if cap == 0:
+        return []
+    padded = np.zeros((cap, 3), dtype=np.int64)
+    padded[: local.shape[0]] = local
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    # gathered: [process_count, cap, 3]; trim each process to its count
+    out: List[Match] = []
+    for p in range(gathered.shape[0]):
+        out.extend(decode_matches(gathered[p, : int(counts[p])]))
+    return out

@@ -61,15 +61,20 @@ def levenshtein_search_sweep(
         else SweepCheckpoint(path="")
     )
 
-    # candidates accumulated as raw (end, dist, length) in ckpt.matches
-    # (Match is a convenient triple container: start slot holds length)
+    # candidates (global-coordinate Matches with k <= threshold) accumulate
+    # in ckpt.matches; in Best mode the running minimum cost curr_k shrinks
+    # as slabs stream, and later candidates above it are dropped eagerly —
+    # behaviorally identical to the final streaming pass (which never emits
+    # a candidate above the running minimum) while keeping the checkpoint
+    # compact on hit-dense haystacks.
     offset = ckpt.offset
+    curr_k = ckpt.curr_k if ckpt.curr_k is not None else k
     while offset < n:
         slab_end = min(offset + slab_chars, n)
         lo = max(0, offset - halo)
         slab = haystack[lo:slab_end]
         cands = levenshtein_search_simd_with_opts(
-            needle, slab, k, SearchType.All, costs, False
+            needle, slab, curr_k, SearchType.All, costs, False
         )
         new = []
         for c in cands:
@@ -77,9 +82,13 @@ def levenshtein_search_sweep(
             # owner-by-end: only candidates ending inside this slab's owned
             # range; the empty-prefix candidate belongs to the first slab
             if (offset < g_end <= slab_end) or (g_end == 0 and offset == 0):
+                if search_type == SearchType.Best:
+                    if c.k > curr_k:
+                        continue
+                    curr_k = min(curr_k, c.k)
                 new.append(Match(start=lo + c.start, end=g_end, k=c.k))
         if checkpoint_path:
-            ckpt.advance(slab_end, new)
+            ckpt.advance(slab_end, new, curr_k=curr_k)
         else:
             ckpt.matches.extend(new)
             ckpt.offset = slab_end

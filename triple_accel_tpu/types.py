@@ -29,6 +29,7 @@ __all__ = [
     "fill_str",
     "check_no_null_bytes",
     "to_bytes_array",
+    "to_symbol_array",
 ]
 
 
@@ -152,6 +153,25 @@ def to_bytes_array(s: BytesLike) -> np.ndarray:
     if isinstance(s, (bytes, bytearray, memoryview)):
         return np.frombuffer(bytes(s), dtype=np.uint8)
     return np.asarray(list(s), dtype=np.uint8)
+
+
+def to_symbol_array(s: BytesLike) -> np.ndarray:
+    """Convert to a 1-D int64 symbol array, preserving values above 255.
+
+    The analog of the reference's generic `T: PartialEq` element type
+    (`levenshtein_naive` is generic, reference levenshtein.rs:148): the
+    scalar oracle's DP only ever compares symbols for equality, so any
+    integer alphabet works.  Strings are mapped per-character to unicode
+    code points.  The device paths remain u8 (the reference's SIMD cores
+    are u8-only too); symbol inputs exceeding 255 route to the oracle.
+    """
+    if isinstance(s, str):
+        return np.array([ord(c) for c in s], dtype=np.int64)
+    if isinstance(s, np.ndarray):
+        return np.ascontiguousarray(s.astype(np.int64)).reshape(-1)
+    if isinstance(s, (bytes, bytearray, memoryview)):
+        return np.frombuffer(bytes(s), dtype=np.uint8).astype(np.int64)
+    return np.asarray(list(s), dtype=np.int64)
 
 
 def alloc_str(length: int) -> np.ndarray:

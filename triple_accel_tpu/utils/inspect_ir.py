@@ -1,0 +1,95 @@
+"""Dump lowered IR for kernel inspection (build_ir_asm.sh analog).
+
+The reference ships `build_ir_asm.sh` (reference repo root, line 1) to
+emit LLVM-IR/asm of its SIMD cores for eyeballing codegen.  The TPU
+equivalents are StableHLO (what JAX traces to) and the compiled HLO
+(after XLA's fusion/layout passes — on TPU this includes the Mosaic
+custom-calls wrapping each Pallas kernel).
+
+Usage (library):
+
+    from triple_accel_tpu.utils.inspect_ir import dump_lowered
+    text = dump_lowered(fn, *example_args, compiled=True)
+
+Usage (CLI — dumps the flagship kernels to ./ir_dump/):
+
+    python -m triple_accel_tpu.utils.inspect_ir [outdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any, Callable, Optional
+
+__all__ = ["dump_lowered", "dump_flagship_kernels"]
+
+
+def dump_lowered(
+    fn: Callable[..., Any],
+    *args: Any,
+    compiled: bool = False,
+    path: Optional[str] = None,
+    **kwargs: Any,
+) -> str:
+    """Return (and optionally write) the lowered IR of `fn(*args)`.
+
+    `compiled=False` gives the StableHLO module as traced; `compiled=True`
+    gives XLA's post-optimization HLO (device-specific; includes Mosaic
+    custom-calls for Pallas kernels).  `fn` may already be jitted.
+    """
+    import jax
+
+    jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
+    lowered = jfn.lower(*args, **kwargs)
+    text = lowered.compile().as_text() if compiled else lowered.as_text()
+    if path:
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
+def dump_flagship_kernels(outdir: str = "ir_dump") -> None:
+    """Dump StableHLO + compiled HLO for the main device paths."""
+    import jax
+    import numpy as np
+
+    os.makedirs(outdir, exist_ok=True)
+    on_tpu = jax.default_backend() == "tpu"
+
+    from ..ops.band_scan import band_scan_distance, prepare_band_inputs
+    from ..ops.pallas.lev_myers import (
+        myers_distance_pallas,
+        prepare_myers_inputs,
+    )
+
+    rng = np.random.default_rng(0)
+    a = [rng.integers(33, 127, 256).astype(np.uint8) for _ in range(256)]
+    b = [rng.integers(33, 127, 256).astype(np.uint8) for _ in range(256)]
+
+    from functools import partial
+
+    K, MAX_M = 32, 256
+    *margs, _dec = prepare_myers_inputs(a, b, K, MAX_M)
+    jfn = partial(
+        myers_distance_pallas, k=K, max_m=MAX_M, interpret=not on_tpu
+    )
+    for compiled, tag in ((False, "stablehlo"), (True, "hlo_opt")):
+        p = os.path.join(outdir, f"lev_myers.{tag}.txt")
+        dump_lowered(jfn, *margs, compiled=compiled, path=p)
+        print(f"wrote {p}")
+
+    a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(a, b, 32, MAX_M)
+    jfn2 = partial(
+        band_scan_distance,
+        unit_k=32, max_m=MAX_M, costs_t=(1, 1, 0, 0, False), trace_on=False,
+    )
+    for compiled, tag in ((False, "stablehlo"), (True, "hlo_opt")):
+        p = os.path.join(outdir, f"band_scan.{tag}.txt")
+        dump_lowered(jfn2, a_pad, b_pad, m_arr, n_arr, compiled=compiled,
+                     path=p)
+        print(f"wrote {p}")
+
+
+if __name__ == "__main__":
+    dump_flagship_kernels(sys.argv[1] if len(sys.argv) > 1 else "ir_dump")
