@@ -151,3 +151,54 @@ def test_pallas_forced_dispatch_end_to_end():
     finally:
         del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
     assert got.tolist() == ref.tolist()
+
+
+def test_batched_traceback_matches_oracle():
+    # VERDICT r1 item 1: trace_on on the batched path — device wavefront +
+    # device walk, differential vs the banded oracle, all cost models,
+    # including under the forced pallas dispatch.
+    import os
+
+    import numpy as np
+
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+    from triple_accel_tpu.oracle.levenshtein import (
+        levenshtein_naive_k_with_opts,
+    )
+    from triple_accel_tpu.types import (
+        EditCosts,
+        LEVENSHTEIN_COSTS,
+        RDAMERAU_COSTS,
+    )
+
+    rng = np.random.default_rng(21)
+    a_list, b_list = [], []
+    for _ in range(40):
+        la = int(rng.integers(0, 40))
+        lb = int(rng.integers(0, 40))
+        a_list.append(rng.integers(0, 5, la).astype(np.uint8))
+        b_list.append(rng.integers(0, 5, lb).astype(np.uint8))
+
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        for costs in (
+            LEVENSHTEIN_COSTS,
+            RDAMERAU_COSTS,
+            EditCosts(2, 1, 1, None),
+            EditCosts(3, 2, 4, 2),
+        ):
+            for k in (0, 3, 100):
+                dists, traces = levenshtein_k_batch(
+                    a_list, b_list, k, costs, trace_on=True
+                )
+                for i in range(len(a_list)):
+                    ref = levenshtein_naive_k_with_opts(
+                        a_list[i], b_list[i], k, True, costs
+                    )
+                    if ref is None:
+                        assert dists[i] == -1 and traces[i] is None
+                    else:
+                        assert dists[i] == ref[0], (i, k, costs)
+                        assert traces[i] == ref[1], (i, k, costs)
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]

@@ -107,17 +107,15 @@ def levenstein_naive_str(a: str, b: str) -> int:
     """Unicode scalar distance (sic — typo preserved from the reference,
     levenshtein.rs:123-127).
 
+    Works for ANY alphabet size: the reference's `levenshtein_naive` is
+    generic over `T: PartialEq` (levenshtein.rs:148), so `>256` distinct
+    characters are fine — the oracle DP compares unicode code points
+    directly (`to_symbol_array`).
+
     >>> levenstein_naive_str("abc", "ab")
     1
     """
-    chars: List[str] = []
-    a_t = translate_str(chars, a)
-    b_t = translate_str(chars, b)
-    if a_t is None or b_t is None:
-        # fall back to generic python-object DP via index mapping failure:
-        # the reference's levenshtein_naive is generic over T: PartialEq.
-        raise ValueError("strings use more than 256 distinct characters")
-    return levenshtein_naive(a_t, b_t)
+    return levenshtein_naive(a, b)
 
 
 def levenshtein_simd_k_str(a: str, b: str, k: int) -> Optional[int]:
@@ -356,7 +354,8 @@ def levenshtein_k_batch(
     b_batch: Sequence[BytesLike],
     k: int,
     costs: EditCosts = LEVENSHTEIN_COSTS,
-) -> np.ndarray:
+    trace_on: bool = False,
+):
     """Batched banded distance: the TPU-native unit of work.
 
     Computes the reference's `levenshtein_simd_k(a, b, k)` for every pair in
@@ -364,6 +363,13 @@ def levenshtein_k_batch(
     distance exceeds its (per-pair capped) threshold — the batched analog of
     the reference returning None.  Dispatches to the Pallas kernel on TPU
     (or when TRIPLE_ACCEL_TPU_FORCE_PATH=pallas), else to the lax.scan path.
+
+    With `trace_on`, returns (dists, traces): traces[p] is the RLE edit
+    list (None where dists[p] == -1).  The batched analog of the
+    reference's in-core SIMD traceback (levenshtein.rs:1080-1089,
+    1197-1281): the wavefront emits argmin codes and a second device scan
+    walks all B tracebacks simultaneously (ops/band_scan.band_trace_batch)
+    — one XLA program, codes never fetched, only the compact edit streams.
     """
     from .ops.band_scan import band_scan_distance, prepare_band_inputs
 
@@ -373,29 +379,65 @@ def levenshtein_k_batch(
         raise ValueError("batch lengths differ")
     B = len(a_list)
     if B == 0:
-        return np.empty(0, dtype=np.int64)
+        out0 = np.empty(0, dtype=np.int64)
+        return (out0, []) if trace_on else out0
 
     swapped_a: List[np.ndarray] = []
     swapped_b: List[np.ndarray] = []
+    swaps: List[bool] = []
     max_ks = np.zeros(B, dtype=np.int64)
     feasible = np.ones(B, dtype=bool)
     unit_k = 0
+    _empty = np.empty(0, dtype=np.uint8)
     for p in range(B):
         a, b = a_list[p], b_list[p]
+        swaps.append(len(a) > len(b))
         if len(a) > len(b):
             a, b = b, a
-        swapped_a.append(a)
-        swapped_b.append(b)
         mk = compute_max_k(len(a), len(b), k, costs)
         uk = min(compute_unit_k(mk, costs), len(b))
         max_ks[p] = mk
         if len(b) - len(a) > uk:
+            # infeasible (length gap exceeds the band): replace with an
+            # empty pair so it neither widens the batch's band/max_m nor
+            # overflows the band buffer; masked to -1 at the end anyway
             feasible[p] = False
-        unit_k = max(unit_k, uk)
+            a = b = _empty
+        swapped_a.append(a)
+        swapped_b.append(b)
+        unit_k = max(unit_k, uk if feasible[p] else 0)
 
     uk_dev = round_up_pow2(unit_k, 4)
     max_m = round_up_pow2(max((len(a) for a in swapped_a), default=1), 8)
     use_pallas = _use_pallas()
+
+    if trace_on:
+        from .ops.band_scan import band_trace_batch, decode_walked_traceback
+
+        DispatchDecision(
+            path="trace_batch",
+            cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
+            unit_k=uk_dev,
+            max_k=int(max_ks.max(initial=0)),
+            padded_m=max_m,
+            padded_n=B,
+        ).log("levenshtein_k_batch")
+        a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(
+            swapped_a, swapped_b, uk_dev, max_m
+        )
+        dist, seq, _steps = band_trace_batch(
+            a_pad, b_pad, m_arr, n_arr,
+            unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
+        )
+        out = np.asarray(dist).astype(np.int64)
+        out = np.where(feasible & (out <= max_ks), out, -1)
+        seq_np = np.asarray(seq)
+        traces = [
+            decode_walked_traceback(seq_np[p], swaps[p]) if out[p] >= 0
+            else None
+            for p in range(B)
+        ]
+        return out, traces
 
     # unit-cost fast path: the bit-parallel Myers kernel (20 DP cells per
     # int32 lane-element) replaces the general band wavefront whenever the
@@ -435,14 +477,9 @@ def levenshtein_k_batch(
             prepare_myers_inputs,
         )
 
-        empty = np.empty(0, dtype=np.uint8)
-        pairs = [
-            (swapped_a[p], swapped_b[p]) if feasible[p] else (empty, empty)
-            for p in range(B)
-        ]
         *margs, decode = prepare_myers_inputs(
-            [p_[0] for p_ in pairs],
-            [p_[1] for p_ in pairs],
+            swapped_a,
+            swapped_b,
             k_stat,
             max_m,
             ks=np.where(feasible, max_ks, k_stat),

@@ -45,6 +45,8 @@ from ..types import Edit, EditType
 __all__ = [
     "INF",
     "band_scan_distance",
+    "band_trace_batch",
+    "decode_walked_traceback",
     "prepare_band_inputs",
     "decode_traceback",
 ]
@@ -181,6 +183,113 @@ def band_scan_distance(
         body, (dp0_init, dp1_init, bgap_init, result0), rows
     )
     return result, codes
+
+
+@partial(
+    jax.jit,
+    static_argnames=("unit_k", "max_m", "costs_t"),
+)
+def band_trace_batch(
+    a_pad: jnp.ndarray,  # [B, max_m] int32 (see band_scan_distance)
+    b_pad: jnp.ndarray,  # [B, max_m + W] int32
+    m: jnp.ndarray,  # [B] int32
+    n: jnp.ndarray,  # [B] int32
+    *,
+    unit_k: int,
+    max_m: int,
+    costs_t: Tuple[int, int, int, int, bool],
+):
+    """Batched banded distance WITH device-side traceback walk.
+
+    One XLA program: the row wavefront emits per-cell argmin codes (kept in
+    device memory — [max_m, B, W] never crosses to the host), then a second
+    scan walks every pair's traceback back from (m, n) simultaneously,
+    vectorized across the batch.  This is the batched-first analog of the
+    reference's in-core traceback (create_levenshtein_simd_core!,
+    reference levenshtein.rs:1080-1089, 1197-1281): the walk is data
+    movement the device does at memory speed, and the host receives only
+    the compact [B, steps] edit streams.
+
+    Returns (dist [B] int32, seq [B, steps] int8, steps):
+    seq codes are in REVERSE walk order (from (m, n) back to (0, 0)):
+    0 Match, 1 Mismatch, 2 consume-b, 3 consume-a, 4 Transpose, -1 done.
+    `steps = 2*max_m + unit_k + 1` bounds every walk since n <= m + unit_k.
+    """
+    W = 2 * unit_k + 1
+    B = a_pad.shape[0]
+    dist, codes = band_scan_distance(
+        a_pad, b_pad, m, n,
+        unit_k=unit_k, max_m=max_m, costs_t=costs_t, trace_on=True,
+    )
+    steps = 2 * max_m + unit_k + 1
+    p_arr = jnp.arange(B, dtype=jnp.int32)
+    codes_flat = codes.astype(jnp.int32).reshape(-1)  # [max_m * B * W]
+    a_flat = a_pad.reshape(-1)
+    b_flat = b_pad.reshape(-1)
+    bw = max_m + W
+
+    def body(carry, _):
+        i, j = carry
+        active = (i > 0) | (j > 0)
+        at_top = i == 0  # row-0 cells are implicit consume-b steps
+        c = jnp.clip(j - i + unit_k, 0, W - 1)
+        idx = (jnp.maximum(i - 1, 0) * B + p_arr) * W + c
+        code = jnp.where(at_top, 1, codes_flat[idx])
+        a_ch = a_flat[p_arr * max_m + jnp.maximum(i - 1, 0)]
+        b_ch = b_flat[p_arr * bw + jnp.clip(unit_k + j - 1, 0, bw - 1)]
+        out = jnp.where(
+            code == 0,
+            jnp.where(a_ch == b_ch, 0, 1),
+            code + 1,  # 1->2 consume-b, 2->3 consume-a, 3->4 transpose
+        ).astype(jnp.int8)
+        out = jnp.where(active, out, jnp.int8(-1))
+        di = jnp.where(
+            code == 0, 1, jnp.where(code == 2, 1, jnp.where(code == 3, 2, 0))
+        )
+        dj = jnp.where(
+            code == 0, 1, jnp.where(code == 1, 1, jnp.where(code == 3, 2, 0))
+        )
+        i = jnp.where(active, i - di, i)
+        j = jnp.where(active, j - dj, j)
+        return (i, j), out
+
+    (_, _), seq = lax.scan(
+        body, (m.astype(jnp.int32), n.astype(jnp.int32)), None, length=steps
+    )
+    return dist, seq.T, steps
+
+
+_WALK_EDIT = [
+    EditType.Match,
+    EditType.Mismatch,
+    None,  # consume-b: AGap unswapped / BGap swapped
+    None,  # consume-a: BGap unswapped / AGap swapped
+    EditType.Transpose,
+]
+
+
+def decode_walked_traceback(seq_row: np.ndarray, swap: bool) -> List[Edit]:
+    """RLE-decode one pair's device-walked edit stream (reverse order) into
+    the reference's forward Edit list.  Vectorized run-length pass."""
+    valid = seq_row >= 0
+    L = int(valid.sum())
+    if L == 0:
+        return []
+    s = seq_row[:L][::-1]  # forward order
+    consume_b = EditType.BGap if swap else EditType.AGap
+    consume_a = EditType.AGap if swap else EditType.BGap
+    # run boundaries
+    cut = np.flatnonzero(np.diff(s)) + 1
+    starts = np.concatenate(([0], cut))
+    ends = np.concatenate((cut, [L]))
+    res: List[Edit] = []
+    for st, en in zip(starts, ends):
+        code = int(s[st])
+        e = _WALK_EDIT[code]
+        if e is None:
+            e = consume_b if code == 2 else consume_a
+        res.append(Edit(edit=e, count=int(en - st)))
+    return res
 
 
 def prepare_band_inputs(
