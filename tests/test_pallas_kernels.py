@@ -202,3 +202,59 @@ def test_batched_traceback_matches_oracle():
                         assert traces[i] == ref[1], (i, k, costs)
     finally:
         del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+
+
+def test_tiled_band_kernel_matches_scan():
+    # VERDICT r1 item 2: row-strip tiled band kernel (unbounded string
+    # length, uint8 upload, band state in VMEM scratch across strips) must
+    # equal the scan wavefront cell-for-cell — alphabet includes char 0 to
+    # prove the 0-pad safety argument.
+    import numpy as np
+
+    from triple_accel_tpu.ops.band_scan import (
+        band_scan_distance,
+        prepare_band_inputs,
+    )
+    from triple_accel_tpu.ops.pallas.lev_band import (
+        band_distance_pallas_tiled,
+        prepare_tiled_inputs,
+    )
+
+    rng = np.random.default_rng(7)
+    for ct in [(1, 1, 0, 0, False), (1, 1, 0, 1, True), (3, 2, 4, 2, True)]:
+        a_list, b_list = [], []
+        for _ in range(24):
+            la = int(rng.integers(0, 70))
+            a = rng.integers(0, 3, la).astype(np.uint8)
+            lb = int(np.clip(la + rng.integers(-6, 7), 0, 80))
+            b = rng.integers(0, 3, lb).astype(np.uint8)
+            if la > lb:
+                a, b = b, a
+            a_list.append(a)
+            b_list.append(b)
+        uk, strip = 8, 16  # tiny strip -> many grid steps carry the state
+        a_s, b_s, m2, n2, c_fin, ns = prepare_tiled_inputs(
+            a_list, b_list, uk, strip
+        )
+        assert a_s.dtype == np.uint8  # compact upload layout
+        dist = np.asarray(
+            band_distance_pallas_tiled(
+                a_s, b_s, m2, n2, c_fin,
+                unit_k=uk, strip=strip, n_strips=ns, costs_t=ct,
+                interpret=True,
+            )
+        )[0]
+        for i, (a, b) in enumerate(zip(a_list, b_list)):
+            if len(b) - len(a) > uk:
+                continue
+            ap, bp, ma, na = prepare_band_inputs([a], [b], uk, max(len(a), 1))
+            ref = np.asarray(
+                band_scan_distance(
+                    ap, bp, ma, na,
+                    unit_k=uk, max_m=max(len(a), 1), costs_t=ct,
+                    trace_on=False,
+                )[0]
+            )[0]
+            assert (dist[i] == ref) or (
+                dist[i] >= 1 << 29 and ref >= 1 << 29
+            ), (i, ct)

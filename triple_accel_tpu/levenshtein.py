@@ -493,9 +493,8 @@ def levenshtein_k_batch(
         out = decode(distm).astype(np.int64)
         return np.where(feasible & (out <= max_ks), out, -1)
 
-    # VMEM guard for the general band kernel: (max_m + max_m+W) int32
-    # input rows double-buffered must stay well under the 16MB VMEM
-    if use_pallas and (2 * max_m + 2 * uk_dev + 1) > 12288:
+    # very wide bands leave no VMEM for the strip blocks: scan instead
+    if use_pallas and (2 * uk_dev + 1) > 8192:
         use_pallas = False
 
     if use_pallas:
@@ -503,13 +502,13 @@ def levenshtein_k_batch(
 
         from .ops.pallas.lev_band import (
             band_distance_pallas,
+            band_distance_pallas_tiled,
             prepare_pallas_inputs,
+            prepare_tiled_inputs,
             select_band_dtype,
+            suggest_strip,
         )
 
-        a_t, b_t, m2, n2, c_fin = prepare_pallas_inputs(
-            swapped_a, swapped_b, uk_dev, max_m
-        )
         interpret = jax.default_backend() != "tpu"
         # The narrow-band ladder (the reference's 8/16/32-bit Jewel dispatch,
         # levenshtein.rs:766-823) is exact but the current Mosaic toolchain
@@ -524,12 +523,29 @@ def levenshtein_k_batch(
             )
         else:
             band_dtype = "int32"
-        dist2 = band_distance_pallas(
-            a_t, b_t, m2, n2, c_fin,
-            unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
-            band_dtype=band_dtype,
-            interpret=interpret,
-        )
+        if (2 * max_m + 2 * uk_dev + 1) > 12288:
+            # long strings: row-strip tiled kernel (VMEM holds one strip;
+            # band state persists in scratch) — no length cliff
+            strip = suggest_strip(uk_dev)
+            a_s, b_s, m2, n2, c_fin, n_strips = prepare_tiled_inputs(
+                swapped_a, swapped_b, uk_dev, strip
+            )
+            dist2 = band_distance_pallas_tiled(
+                a_s, b_s, m2, n2, c_fin,
+                unit_k=uk_dev, strip=strip, n_strips=n_strips,
+                costs_t=_costs_tuple(costs), band_dtype=band_dtype,
+                interpret=interpret,
+            )
+        else:
+            a_t, b_t, m2, n2, c_fin = prepare_pallas_inputs(
+                swapped_a, swapped_b, uk_dev, max_m
+            )
+            dist2 = band_distance_pallas(
+                a_t, b_t, m2, n2, c_fin,
+                unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
+                band_dtype=band_dtype,
+                interpret=interpret,
+            )
         out = np.asarray(dist2)[0, :B].astype(np.int64)
     else:
         a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(

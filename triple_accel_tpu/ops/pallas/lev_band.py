@@ -43,8 +43,11 @@ from ..band_scan import INF
 
 __all__ = [
     "band_distance_pallas",
+    "band_distance_pallas_tiled",
     "prepare_pallas_inputs",
+    "prepare_tiled_inputs",
     "select_band_dtype",
+    "suggest_strip",
     "LANES",
 ]
 
@@ -284,3 +287,246 @@ def prepare_pallas_inputs(a_list, b_list, unit_k: int, max_m: int):
         n[0, p] = len(b)
         c_fin[0, p] = min(max(len(b) - len(a) + unit_k, 0), W - 1)
     return a_t, b_t, m, n, c_fin
+
+
+# ---------------------------------------------------------------------------
+# Row-strip tiled variant: unbounded string length (VMEM holds one strip)
+# ---------------------------------------------------------------------------
+
+def suggest_strip(unit_k: int, budget_rows: int = 4096) -> int:
+    """Strip height (rows of `a` per grid step) keeping the per-step VMEM
+    blocks (a strip + b strip, double-buffered int32) within ~4-5MB."""
+    W = 2 * unit_k + 1
+    strip = max(128, ((budget_rows - W) // 128) * 128)
+    return strip
+
+
+def _make_tiled_kernel(unit_k: int, strip: int, n_strips: int, W: int,
+                       costs_t: Tuple[int, int, int, int, bool],
+                       dtype: jnp.dtype, inf: int):
+    """Row-strip kernel body: the band state (dp0/dp1/bgap/res) lives in
+    VMEM scratch and persists across the strip axis of the grid (Mosaic
+    runs grid steps sequentially per core), so only one (strip x 128)
+    block of each input string is resident at a time — the TPU analog of
+    the reference's Vec-backed unbounded Jewels
+    (reference src/jewel.rs:472-506, 833-1207)."""
+    mc, gc, sgc, tc, allow_transpose = costs_t
+    d = dtype
+
+    def _d(v):
+        return jnp.asarray(v, d)
+
+    def kernel(a_ref, b_ref, m_ref, n_ref, cfin_ref, out_ref,
+               dp0_s, dp1_s, bgap_s, res_s):
+        # a_ref: [strip + 1, LANES]   rows s*strip-1 .. s*strip+strip-1 of a
+        # b_ref: [strip + W, LANES]   rows s*strip-1 .. of the unit_k-offset
+        #                             b buffer (b[t - unit_k] at global t)
+        # scratch: [W, LANES] band state carried across strips
+        s = pl.program_id(1)
+        c_iota = lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
+        c_iota_d = c_iota.astype(d)
+        n_row = n_ref[0:1, :]
+        m_row = m_ref[0:1, :]
+        cfin = cfin_ref[0:1, :]
+        inf_tile = jnp.full((W, LANES), inf, d)
+
+        @pl.when(s == 0)
+        def _init():
+            j0 = c_iota - unit_k
+            dp1_init = jnp.minimum(
+                jnp.where(
+                    (j0 >= 0) & (j0 <= n_row),
+                    j0 * gc + jnp.where(j0 > 0, sgc, 0),
+                    INF,
+                ),
+                inf,
+            ).astype(d)
+            dp0_s[...] = inf_tile
+            dp1_s[...] = dp1_init
+            bgap_s[...] = inf_tile
+            res_s[...] = jnp.where(m_row == 0, dp1_init, inf_tile)
+
+        def body(r, carry):
+            dp0, dp1, bgap, res = carry
+            i = s * strip + r + 1  # global row (1-based)
+            a_char = a_ref[pl.ds(r + 1, 1), :]
+            bwin = b_ref[pl.ds(r + 1, W), :]
+
+            j = i + c_iota - unit_k
+            valid = (j >= 0) & (j <= n_row)
+
+            sub = dp1 + jnp.where(a_char == bwin, _d(0), _d(mc))
+
+            dp1_up = _shift_up(dp1, c_iota, W, _d(inf))
+            bgap_up = _shift_up(bgap, c_iota, W, _d(inf))
+            bgap2 = jnp.minimum(
+                jnp.minimum(dp1_up + _d(sgc + gc), bgap_up + _d(gc)), _d(inf)
+            )
+
+            dprime = jnp.minimum(sub, bgap2)
+            if allow_transpose:
+                bwin2 = b_ref[pl.ds(r, W), :]
+                a_prev = a_ref[pl.ds(r, 1), :]
+                tcond = (
+                    (i > 1) & (j > 1) & (a_char == bwin2) & (a_prev == bwin)
+                )
+                trans = jnp.where(tcond, dp0 + _d(tc), _d(inf))
+                dprime = jnp.minimum(dprime, trans)
+
+            dprime = jnp.where(valid, jnp.minimum(dprime, _d(inf)), _d(inf))
+
+            g = dprime - c_iota_d * _d(gc)
+            mins = _cummin_sublanes(g, c_iota, W, _d(inf))
+            mins_prev = jnp.where(
+                c_iota == 0, _d(inf), pltpu.roll(mins, shift=1, axis=0)
+            )
+            e = jnp.minimum(_d(sgc) + c_iota_d * _d(gc) + mins_prev, _d(inf))
+
+            dp2 = jnp.minimum(jnp.minimum(sub, e), bgap2)
+            if allow_transpose:
+                dp2 = jnp.minimum(dp2, trans)
+            dp2 = jnp.where(valid, jnp.minimum(dp2, _d(inf)), _d(inf))
+
+            res = jnp.where(i == m_row, dp2, res)
+            return (dp1, dp2, bgap2, res)
+
+        carry = (dp0_s[...], dp1_s[...], bgap_s[...], res_s[...])
+        dp0, dp1, bgap, res = lax.fori_loop(0, strip, body, carry)
+        dp0_s[...] = dp0
+        dp1_s[...] = dp1
+        bgap_s[...] = bgap
+        res_s[...] = res
+
+        @pl.when(s == n_strips - 1)
+        def _finish():
+            out_ref[0:1, :] = jnp.min(
+                jnp.where(c_iota == cfin, res_s[...], _d(inf)).astype(
+                    jnp.int32
+                ),
+                axis=0,
+                keepdims=True,
+            )
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("unit_k", "strip", "n_strips", "costs_t", "band_dtype",
+                     "interpret"),
+)
+def band_distance_pallas_tiled(
+    a_strips: jnp.ndarray,  # [n_strips*(strip+1), B] int32, see prepare
+    b_strips: jnp.ndarray,  # [n_strips*(strip+W), B] int32
+    m: jnp.ndarray,  # [1, B] int32
+    n: jnp.ndarray,  # [1, B] int32
+    c_fin: jnp.ndarray,  # [1, B] int32
+    *,
+    unit_k: int,
+    strip: int,
+    n_strips: int,
+    costs_t: Tuple[int, int, int, int, bool],
+    band_dtype: str = "int32",
+    interpret: bool = False,
+):
+    """Row-strip tiled banded distance: strings of ANY length (VMEM holds
+    one strip per step; Mosaic double-buffers the strip DMAs across grid
+    steps).  Semantics identical to band_distance_pallas."""
+    W = 2 * unit_k + 1
+    B = a_strips.shape[1]
+    # strip slabs are padded to 8-divisible heights (Mosaic block rule)
+    HA = _round_up(strip + 1, 8)
+    HB = _round_up(strip + W, 8)
+    assert B % LANES == 0
+    assert a_strips.shape[0] == n_strips * HA
+    assert b_strips.shape[0] == n_strips * HB
+    # strings may arrive as raw uint8 with 0-valued pads (4x less
+    # host->device traffic on these long-string batches); widen on device.
+    # Pad bytes are safe even though 0 is a real char: every cell whose
+    # char comparison could see a pad is already INF via the j-validity
+    # mask or an INF predecessor (verified by the char-0 differential
+    # tests), so pad values never influence a result.
+    if a_strips.dtype == jnp.uint8:
+        a_strips = a_strips.astype(jnp.int32)
+        b_strips = b_strips.astype(jnp.int32)
+
+    dtype = jnp.dtype(band_dtype)
+    if band_dtype == "int32":
+        inf = int(INF)
+    else:
+        name, inf = select_band_dtype(0, unit_k, costs_t)
+        assert jnp.dtype(name).itemsize <= dtype.itemsize
+        if name != band_dtype:
+            mc, gc, sgc, tc, _ = costs_t
+            slack = max(mc, sgc + gc, tc, gc, sgc + (W - 1) * gc)
+            inf = int(jnp.iinfo(dtype).max) - slack
+
+    kernel = _make_tiled_kernel(unit_k, strip, n_strips, W, costs_t, dtype,
+                                inf)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // LANES, n_strips),
+        in_specs=[
+            pl.BlockSpec((HA, LANES), lambda g, s: (s, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HB, LANES), lambda g, s: (s, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, LANES), lambda g, s: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((W, LANES), dtype),
+            pltpu.VMEM((W, LANES), dtype),
+            pltpu.VMEM((W, LANES), dtype),
+            pltpu.VMEM((W, LANES), dtype),
+        ],
+        interpret=interpret,
+    )(a_strips, b_strips, m, n, c_fin)
+    return out
+
+
+def prepare_tiled_inputs(a_list, b_list, unit_k: int, strip: int):
+    """Pad a batch into the strip layout band_distance_pallas_tiled expects.
+
+    Strip s of `a` holds rows [s*strip - 1, s*strip + strip) of the
+    sentinel-padded a buffer (one history row for the transpose window);
+    strip s of `b` holds rows [s*strip - 1, s*strip + strip + W - 1) of
+    the unit_k-offset b buffer.  Returns
+    (a_strips, b_strips, m, n, c_fin, n_strips)."""
+    W = 2 * unit_k + 1
+    B = max(_round_up(max(len(a_list), 1), LANES), 2 * LANES)
+    max_m = max((len(a) for a in a_list), default=1)
+    n_strips = max(-(-max_m // strip), 1)
+    MM = n_strips * strip
+    HA = _round_up(strip + 1, 8)  # Mosaic blocks need 8-divisible heights
+    HB = _round_up(strip + W, 8)
+
+    a_full = np.zeros((1 + MM, B), dtype=np.uint8)
+    b_full = np.zeros((1 + MM + W, B), dtype=np.uint8)
+    m = np.zeros((1, B), dtype=np.int32)
+    n = np.zeros((1, B), dtype=np.int32)
+    c_fin = np.zeros((1, B), dtype=np.int32)
+    for p, (a, b) in enumerate(zip(a_list, b_list)):
+        a_full[1 : 1 + len(a), p] = a
+        b_full[1 + unit_k : 1 + unit_k + len(b), p] = b
+        m[0, p] = len(a)
+        n[0, p] = len(b)
+        c_fin[0, p] = min(max(len(b) - len(a) + unit_k, 0), W - 1)
+
+    a_strips = np.zeros((n_strips * HA, B), dtype=np.uint8)
+    b_strips = np.zeros((n_strips * HB, B), dtype=np.uint8)
+    for s in range(n_strips):
+        a_strips[s * HA : s * HA + strip + 1] = a_full[
+            s * strip : s * strip + strip + 1
+        ]
+        b_strips[s * HB : s * HB + strip + W] = b_full[
+            s * strip : s * strip + strip + W
+        ]
+    return a_strips, b_strips, m, n, c_fin, n_strips
