@@ -124,3 +124,46 @@ def test_pallas_search_nul_differential():
                 needle, haystack, k, SearchType.All, LEVENSHTEIN_COSTS, False
             )
         assert got == ref, (trial, needle.tobytes(), k)
+
+
+def test_dense_hit_regime():
+    # VERDICT r1 item 3: low-complexity text with the blessed default
+    # k = ceil(m/2) makes most positions hits; Best mode must use the
+    # global-min filter (no per-hit loop), All mode must stay exact.
+    rng = np.random.default_rng(17)
+    hay = rng.integers(65, 67, 3000).astype(np.uint8)  # 2-char alphabet
+    needle = rng.integers(65, 67, 8).astype(np.uint8)
+    k = 4  # default_search_k(8)
+    for st in (SearchType.Best, SearchType.All):
+        ref = levenshtein_search_naive_with_opts(
+            needle, hay, k, st, LEVENSHTEIN_COSTS, False
+        )
+        with _forced("pallas"):
+            got = levenshtein_search_simd_with_opts(
+                needle, hay, k, st, LEVENSHTEIN_COSTS, False
+            )
+        assert got == ref, st
+    # same regime through the general engine (forced band path)
+    for st in (SearchType.Best, SearchType.All):
+        ref = levenshtein_search_naive_with_opts(
+            needle, hay, k, st, LEVENSHTEIN_COSTS, False
+        )
+        with _forced("pallas_band"):
+            got = levenshtein_search_simd_with_opts(
+                needle, hay, k, st, LEVENSHTEIN_COSTS, False
+            )
+        assert got == ref, ("band", st)
+
+
+def test_dense_best_exact_tie_positions():
+    # multiple exact (k=0-cost) occurrences: Best must keep every
+    # non-overlapped global-min match in stream order
+    hay = b"xx_needle_yy_needle_zz_needle_"
+    ref = levenshtein_search_naive_with_opts(
+        b"needle", hay, 3, SearchType.Best, LEVENSHTEIN_COSTS, False
+    )
+    with _forced("pallas"):
+        got = levenshtein_search_simd_with_opts(
+            b"needle", hay, 3, SearchType.Best, LEVENSHTEIN_COSTS, False
+        )
+    assert got == ref and len(got) == 3

@@ -774,7 +774,6 @@ def levenshtein_search_simd_with_opts(
             padded_n=seg_len,
         ).log("levenshtein_search_simd_with_opts")
         from .ops.pallas.search_myers import (
-            BLOCK as MS_BLOCK,
             myers_gather_blocks,
             myers_search_block_mins,
         )
@@ -795,9 +794,11 @@ def levenshtein_search_simd_with_opts(
         # haystack byte — the fetch, not the compute, dominates otherwise).
         # Non-hit positions keep a large sentinel; the postprocess only
         # inspects positions with dist <= k, so this is exact.
+        from .ops.pallas.search_myers import collect_hits
+
         mins = np.asarray(mins_d)
         rb, cols = np.nonzero(mins <= k)
-        hits: List[Tuple[int, int]] = []  # (end position, dist)
+        gpos = d_arr = np.empty(0, dtype=np.int64)
         if rb.size:
             pad_n = round_up_pow2(rb.size, 8)
             rb_p = np.empty(pad_n, np.int32)
@@ -805,39 +806,51 @@ def levenshtein_search_simd_with_opts(
             rb_p[: rb.size], rb_p[rb.size :] = rb, rb[-1]
             cols_p[: cols.size], cols_p[cols.size :] = cols, cols[-1]
             blocks = np.asarray(myers_gather_blocks(dist_d, rb_p, cols_p))
-            for bi in range(rb.size):
-                col = int(cols[bi])
-                g, lane = divmod(col, 128)
-                for off in np.flatnonzero(blocks[bi] <= k):
-                    d = blocks[bi][off]
-                    r = int(rb[bi]) * MS_BLOCK + int(off)
-                    u, t = divmod(r, OUT)
-                    if u >= G:
-                        continue
-                    c = g * (G * 128) + u * 128 + lane
-                    if c >= C:
-                        continue
-                    # uniform chunk_raw mapping: local t <-> global
-                    # c*own_len - halo + t; segment c owns ends in
-                    # (c*own_len, c*own_len + own_len]; chunk 0 also owns 0
-                    if (halo < t <= halo + own_len) or (
-                        c == 0 and t == halo
-                    ):
-                        gpos = c * own_len - halo + t
-                        if 0 <= gpos <= iter_len:
-                            hits.append((gpos, int(d)))
-        if len(hits) <= max(512, (iter_len + 1) // 64):
-            hits.sort()
-            span = min(
-                window_span(m, k, costs.gap_cost, costs.start_gap_cost), n
+            # vectorized collection: the dense regime is pure array math
+            _, gpos, d_arr = collect_hits(
+                blocks, rb, cols, k,
+                OUT=OUT, G=G, C=C, halo=halo, own_len=own_len,
+                limit_pos=iter_len,
             )
+        span = min(
+            window_span(m, k, costs.gap_cost, costs.start_gap_cost), n
+        )
+        # chunk 0's synthetic zero-pad front halo can deflate kernel
+        # distances at gpos <= halo when the needle contains NUL bytes:
+        # oracle-correct those few positions before anything trusts d
+        if gpos.size and 0 in needle:
+            fix = np.flatnonzero(gpos <= halo)
+            keep = np.ones(gpos.size, dtype=bool)
+            for fi in fix:
+                resolved = _hit_resolve(
+                    needle, haystack, int(gpos[fi]), k, costs, span
+                )
+                if resolved is None:
+                    keep[fi] = False
+                else:
+                    d_arr[fi] = resolved[0]
+            gpos, d_arr = gpos[keep], d_arr[keep]
+
+        resolve_budget = max(512, (iter_len + 1) // 64)
+        if search_type == SearchType.Best and gpos.size:
+            # Best-mode result can only contain candidates at the global
+            # minimum cost (the streaming pass keeps k == final curr_k,
+            # reference levenshtein.rs:1812-1835) — so only those need the
+            # per-hit oracle length resolution, dense or not
+            kmin = int(d_arr.min())
+            at_min = d_arr == kmin
+            gpos, d_arr = gpos[at_min], d_arr[at_min]
+        if gpos.size <= resolve_budget:
             cands = []
-            for p, _ in hits:
-                resolved = _hit_resolve(needle, haystack, p, k, costs, span)
+            for p, dd in zip(gpos, d_arr):
+                resolved = _hit_resolve(needle, haystack, int(p), k, costs,
+                                        span)
                 if resolved is not None:
-                    cands.append((p, resolved[0], resolved[1]))
+                    cands.append((int(p), resolved[0], resolved[1]))
             return _postprocess_sparse(cands, k, search_type)
-        # dense hits: fall through to the length-tracking engine below
+        # degenerate-dense (e.g. All mode on low-complexity text): the
+        # general engine below tracks lengths on device, so per-hit oracle
+        # replays are avoided at the cost of a second device pass
     effective_n = iter_len
     # longer segments amortize halo overlap and host-side prep; the
     # pallas kernel's VMEM budget comfortably fits 4096-char segments
@@ -889,7 +902,7 @@ def levenshtein_search_simd_with_opts(
         # byte, dominating everything on slow host links)
         mins = np.asarray(mins_d)[:C0]
         segs_c, blks_c = np.nonzero(mins <= k)
-        hits: List[Tuple[int, int, int]] = []  # (end, dist, length)
+        ends = dd = ll = np.empty(0, dtype=np.int64)
         if segs_c.size:
             pad_n = round_up_pow2(segs_c.size, 8)
             sp = np.empty(pad_n, np.int32)
@@ -897,27 +910,33 @@ def levenshtein_search_simd_with_opts(
             sp[: segs_c.size], sp[segs_c.size :] = segs_c, segs_c[-1]
             bp[: blks_c.size], bp[blks_c.size :] = blks_c, blks_c[-1]
             dblk, lblk = search_gather_blocks(d_dev, l_dev, sp, bp)
-            dblk = np.asarray(dblk)
-            lblk = np.asarray(lblk)
-            for bi in range(segs_c.size):
-                c = int(segs_c[bi])
-                o = int(own_start[c])
-                s0 = int(seg_off[c])
-                lo_local = o - s0
-                hi_local = min(int(seg_n[c]), lo_local + own_len)
-                base = int(blks_c[bi]) * SBLOCK
-                for off in np.flatnonzero(dblk[bi] <= k):
-                    t = base + int(off)
-                    if t == 0:
-                        if c == 0:
-                            hits.append((0, int(dblk[bi][off]),
-                                         int(lblk[bi][off])))
-                        continue
-                    if lo_local + 1 <= t <= hi_local and s0 + t <= iter_len:
-                        hits.append((s0 + t, int(dblk[bi][off]),
-                                     int(lblk[bi][off])))
-        hits.sort()
-        return _postprocess_sparse(hits, k, search_type)
+            dblk = np.asarray(dblk)[: segs_c.size]
+            lblk = np.asarray(lblk)[: segs_c.size]
+            # vectorized owned-position mapping (no per-hit Python)
+            bi_idx, off_idx = np.nonzero(dblk <= k)
+            c = segs_c[bi_idx].astype(np.int64)
+            t = blks_c[bi_idx].astype(np.int64) * SBLOCK + off_idx
+            dd = dblk[bi_idx, off_idx].astype(np.int64)
+            ll = lblk[bi_idx, off_idx].astype(np.int64)
+            lo_loc = (own_start.astype(np.int64) - seg_off)[c]
+            hi_loc = np.minimum(seg_n.astype(np.int64)[c],
+                                lo_loc + own_len)
+            s0 = seg_off.astype(np.int64)[c]
+            ok = ((t >= lo_loc + 1) & (t <= hi_loc)
+                  & (s0 + t <= iter_len)) | ((t == 0) & (c == 0))
+            # (for t==0 & c==0, s0 is 0, so s0+t is already the global 0)
+            ends, dd, ll = (s0 + t)[ok], dd[ok], ll[ok]
+            order = np.argsort(ends, kind="stable")
+            ends, dd, ll = ends[order], dd[order], ll[order]
+        if search_type == SearchType.Best and ends.size:
+            # only global-minimum-cost candidates can survive Best's final
+            # filter — shrink before building Match objects
+            at_min = dd == dd.min()
+            ends, dd, ll = ends[at_min], dd[at_min], ll[at_min]
+        return _postprocess_sparse(
+            list(zip(ends.tolist(), dd.tolist(), ll.tolist())),
+            k, search_type,
+        )
 
     dist_seg, len_seg = search_scan(
         needle.astype(np.int32),
@@ -974,8 +993,8 @@ def levenshtein_search_many(
     import jax
 
     from .ops.pallas.search_myers import (
-        BLOCK as MS_BLOCK,
         chunk_raw,
+        collect_hits,
         myers_gather_blocks,
         myers_search_block_mins,
         myers_search_plan,
@@ -1041,7 +1060,7 @@ def levenshtein_search_many(
         OUT = seg_len + 1
         mins = np.asarray(mins_d)
         rb, cols = np.nonzero(mins <= k)
-        per_needle_hits: List[List[Tuple[int, int]]] = [[] for _ in idxs]
+        ni_a = gpos_a = d_a = np.empty(0, dtype=np.int64)
         if rb.size:
             pad_n = round_up_pow2(rb.size, 8)
             rb_p = np.empty(pad_n, np.int32)
@@ -1049,39 +1068,43 @@ def levenshtein_search_many(
             rb_p[: rb.size], rb_p[rb.size :] = rb, rb[-1]
             cols_p[: cols.size], cols_p[cols.size :] = cols, cols[-1]
             blocks = np.asarray(myers_gather_blocks(dist_d, rb_p, cols_p))
-            for bi in range(rb.size):
-                col = int(cols[bi])
-                g, lane = divmod(col, 128)
-                for off in np.flatnonzero(blocks[bi] <= k):
-                    d = blocks[bi][off]
-                    r = int(rb[bi]) * MS_BLOCK + int(off)
-                    ni, rem = divmod(r, G * OUT)
-                    u, t = divmod(rem, OUT)
-                    if ni >= NUM or u >= G:
-                        continue
-                    c = g * (G * 128) + u * 128 + lane
-                    if c >= C:
-                        continue
-                    if (halo < t <= halo + own_len) or (
-                        c == 0 and t == halo
-                    ):
-                        gpos = c * own_len - halo + t
-                        if 0 <= gpos <= n:
-                            per_needle_hits[ni].append((gpos, int(d)))
+            ni_a, gpos_a, d_a = collect_hits(
+                blocks, rb, cols, k,
+                OUT=OUT, G=G, C=C, halo=halo, own_len=own_len,
+                limit_pos=n, num_needles=NUM,
+            )
         span = min(window_span(m, k, costs.gap_cost, costs.start_gap_cost), n)
+        resolve_budget = max(512, (n + 1) // 64)
         for slot, i in enumerate(idxs):
-            hits = per_needle_hits[slot]
-            if len(hits) > max(512, (n + 1) // 64):
+            sel = ni_a == slot
+            gpos, d_arr = gpos_a[sel], d_a[sel]
+            if gpos.size and 0 in needles[i]:
+                # chunk-0 NUL-pad correction (see the single-needle path)
+                fix = np.flatnonzero(gpos <= halo)
+                keep = np.ones(gpos.size, dtype=bool)
+                for fi in fix:
+                    resolved = _hit_resolve(
+                        needles[i], haystack, int(gpos[fi]), k, costs, span
+                    )
+                    if resolved is None:
+                        keep[fi] = False
+                    else:
+                        d_arr[fi] = resolved[0]
+                gpos, d_arr = gpos[keep], d_arr[keep]
+            if search_type == SearchType.Best and gpos.size:
+                at_min = d_arr == d_arr.min()
+                gpos, d_arr = gpos[at_min], d_arr[at_min]
+            if gpos.size > resolve_budget:
                 results[i] = levenshtein_search_simd_with_opts(
                     needles[i], haystack, k, search_type, costs, False
                 )
                 continue
-            hits.sort()
             cands = []
-            for p, _ in hits:
-                resolved = _hit_resolve(needles[i], haystack, p, k, costs, span)
+            for p in gpos:
+                resolved = _hit_resolve(needles[i], haystack, int(p), k,
+                                        costs, span)
                 if resolved is not None:
-                    cands.append((p, resolved[0], resolved[1]))
+                    cands.append((int(p), resolved[0], resolved[1]))
             results[i] = _postprocess_sparse(cands, k, search_type)
     return results  # type: ignore[return-value]
 

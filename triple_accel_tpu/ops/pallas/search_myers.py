@@ -398,3 +398,50 @@ def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
         return d[:C0]
 
     return nchar, seg_t, decode
+
+
+def collect_hits(
+    blocks: np.ndarray,  # [>=nb, BLOCK] gathered candidate blocks
+    rb: np.ndarray,  # [nb] row-block index per gathered block
+    cols: np.ndarray,  # [nb] column index per gathered block
+    k: int,
+    *,
+    OUT: int,
+    G: int,
+    C: int,
+    halo: int,
+    own_len: int,
+    limit_pos: int,
+    num_needles: int = 1,
+):
+    """Vectorized mapping of gathered candidate blocks to owned global hit
+    positions — the whole dense regime runs as numpy array math, no
+    per-position Python.  Returns (ni, gpos, d) int64 arrays sorted by
+    (needle, end position): needle index, global end position, kernel
+    distance, for every in-bounds owned position with distance <= k.
+    """
+    nb = rb.size
+    blk = blocks[:nb]
+    bi_idx, off_idx = np.nonzero(blk <= k)
+    if bi_idx.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    d = blk[bi_idx, off_idx].astype(np.int64)
+    col = cols[bi_idx].astype(np.int64)
+    g, lane = col // LANES, col % LANES
+    r = rb[bi_idx].astype(np.int64) * BLOCK + off_idx
+    ni, rem = r // (G * OUT), r % (G * OUT)
+    u, t = rem // OUT, rem % OUT
+    c = g * (G * LANES) + u * LANES + lane
+    gpos = c * own_len - halo + t
+    ok = (
+        (ni < num_needles)
+        & (u < G)
+        & (c < C)
+        & (((t > halo) & (t <= halo + own_len)) | ((c == 0) & (t == halo)))
+        & (gpos >= 0)
+        & (gpos <= limit_pos)
+    )
+    ni, gpos, d = ni[ok], gpos[ok], d[ok]
+    order = np.lexsort((gpos, ni))
+    return ni[order], gpos[order], d[order]
