@@ -258,3 +258,46 @@ def test_tiled_band_kernel_matches_scan():
             assert (dist[i] == ref) or (
                 dist[i] >= 1 << 29 and ref >= 1 << 29
             ), (i, ct)
+
+
+def test_bucketed_batch_identical():
+    # VERDICT r1 item 5: per-bucket dispatch on mixed-length batches must be
+    # byte-identical to the single-launch result (and to the oracle).
+    import importlib
+
+    import numpy as np
+
+    lev = importlib.import_module("triple_accel_tpu.levenshtein")
+    from triple_accel_tpu.oracle.levenshtein import (
+        levenshtein_naive_k_with_opts,
+    )
+
+    rng = np.random.default_rng(33)
+    a_list, b_list = [], []
+    for _ in range(400):
+        L = int(rng.integers(4, 24))
+        a = rng.integers(0, 5, L).astype(np.uint8)
+        b = a.copy()
+        b[rng.integers(0, L, 2)] = 5
+        a_list.append(a)
+        b_list.append(b)
+    for _ in range(300):
+        L = int(rng.integers(100, 200))
+        a = rng.integers(0, 5, L).astype(np.uint8)
+        b = a.copy()
+        b[rng.permutation(L)[:4]] = 5
+        a_list.append(a)
+        b_list.append(b)
+
+    out_b = lev.levenshtein_k_batch(a_list, b_list, 9)
+    old = lev._MIN_BUCKET
+    try:
+        lev._MIN_BUCKET = 1 << 60  # force single launch
+        out_s = lev.levenshtein_k_batch(a_list, b_list, 9)
+    finally:
+        lev._MIN_BUCKET = old
+    assert (out_b == out_s).all()
+    for i in rng.choice(len(a_list), 30, replace=False):
+        ref = levenshtein_naive_k_with_opts(a_list[i], b_list[i], 9, False)
+        exp = -1 if ref is None else ref[0]
+        assert out_b[i] == exp, i

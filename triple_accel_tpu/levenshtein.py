@@ -80,6 +80,9 @@ __all__ = [
 
 U32_MAX = (1 << 32) - 1
 
+# smallest pair group worth its own kernel launch in per-bucket dispatch
+_MIN_BUCKET = 256
+
 
 # ---------------------------------------------------------------------------
 # Unicode helpers (reference levenshtein.rs:609-651, 123-127)
@@ -386,6 +389,7 @@ def levenshtein_k_batch(
     swapped_b: List[np.ndarray] = []
     swaps: List[bool] = []
     max_ks = np.zeros(B, dtype=np.int64)
+    uks = np.zeros(B, dtype=np.int64)
     feasible = np.ones(B, dtype=bool)
     unit_k = 0
     _empty = np.empty(0, dtype=np.uint8)
@@ -405,7 +409,55 @@ def levenshtein_k_batch(
             a = b = _empty
         swapped_a.append(a)
         swapped_b.append(b)
-        unit_k = max(unit_k, uk if feasible[p] else 0)
+        uks[p] = uk if feasible[p] else 0
+        unit_k = max(unit_k, int(uks[p]))
+
+    # --- per-bucket dispatch (the batched analog of the reference's
+    # per-call Jewel-width dispatch, levenshtein.rs:766-823): one long or
+    # distant outlier pair must not widen every pair's band and row count.
+    # Pairs are grouped by their pow2-quantized (padded m, unit_k) key;
+    # groups smaller than _MIN_BUCKET merge upward into the next key so
+    # per-launch dispatch overhead stays amortized.
+    if B > _MIN_BUCKET:
+        key_of = [
+            (
+                round_up_pow2(max(len(swapped_a[p]), 1), 8),
+                round_up_pow2(int(uks[p]), 4),
+            )
+            for p in range(B)
+        ]
+        groups: dict = {}
+        for p in range(B):
+            groups.setdefault(key_of[p], []).append(p)
+        merged: List[List[int]] = []
+        carry: List[int] = []
+        for key in sorted(groups):
+            members = carry + groups[key]
+            if len(members) < _MIN_BUCKET:
+                carry = members
+            else:
+                merged.append(members)
+                carry = []
+        if carry:
+            if merged:
+                merged[-1].extend(carry)
+            else:
+                merged.append(carry)
+        if len(merged) > 1:
+            out = np.empty(B, dtype=np.int64)
+            traces_all: List[Optional[List[Edit]]] = [None] * B
+            for members in merged:
+                sub = levenshtein_k_batch(
+                    [a_list[p] for p in members],
+                    [b_list[p] for p in members],
+                    k, costs, trace_on,
+                )
+                if trace_on:
+                    sub, sub_traces = sub
+                    for q, p in enumerate(members):
+                        traces_all[p] = sub_traces[q]
+                out[list(members)] = sub
+            return (out, traces_all) if trace_on else out
 
     uk_dev = round_up_pow2(unit_k, 4)
     max_m = round_up_pow2(max((len(a) for a in swapped_a), default=1), 8)
