@@ -59,6 +59,9 @@ def main():
 
     @jax.jit
     def run(nc, st):
+        # raw padded layout: pad rows hold a 2^30 sentinel, so the
+        # reduction needs no slice (slicing relayouts the whole output
+        # array and costs as much as the kernel itself)
         dist = myers_search_pallas(
             nc,
             st,
@@ -67,6 +70,7 @@ def main():
             seg_len=seg_len,
             anchored=False,
             interpret=not on_tpu,
+            raw=True,
         )
         return (dist <= K).sum()
 
@@ -74,12 +78,17 @@ def main():
     assert hits0 >= 64, f"planted matches lost: {hits0}"
 
     reps = 6
-    np.asarray(jnp.stack([run(nchar_d, seg_d) for _ in range(2)]))
+    # warm with the SAME reps count: a different stack width would compile
+    # its concatenate inside the timed region
+    np.asarray(jnp.stack([run(nchar_d, seg_d) for _ in range(reps)]))
 
-    t0 = time.perf_counter()
-    outs = [run(nchar_d, seg_d) for _ in range(reps)]
-    host = np.asarray(jnp.stack(outs))
-    dt = time.perf_counter() - t0
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run(nchar_d, seg_d) for _ in range(reps)]
+        host = np.asarray(jnp.stack(outs))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
     assert host.shape[0] == reps
     gbps = N * reps / dt / 1e9
 

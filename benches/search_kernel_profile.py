@@ -1,0 +1,228 @@
+"""Cost-isolation harness for the Myers search kernel (dev tool).
+
+Runs ablated variants of the kernel (drop the Eq MXU dots / the per-char
+seg loads / the output stores) on the bench_search workload to attribute
+cycles.  Ablations are NOT semantically correct — they exist only to
+locate the bottleneck; the real kernel lives in ops/pallas/search_myers.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ta_tpu_jax_cache")
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from triple_accel_tpu.ops.pallas.search_myers import (  # noqa: E402
+    LANES,
+    MW,
+    WORD,
+    chunk_raw,
+    myers_search_plan,
+    prepare_myers_search_inputs,
+    suggest_own_len,
+)
+from triple_accel_tpu.ops.search_scan import window_span  # noqa: E402
+
+
+def _round_up(x, mult):
+    return -(-x // mult) * mult
+
+
+def make_kernel(needle_len, width, seg_len, *, no_dot=False, no_load=False,
+                no_store=False, anchored=False):
+    m = needle_len
+    NW, SG, G, WIN = myers_search_plan(m)
+    WINP = _round_up(WIN, 8)
+    wS, offS = (m - 1) // WORD, (m - 1) % WORD
+    mtop = m - WORD * (NW - 1)
+    OUT = _round_up(seg_len + 1, 8)
+
+    def kernel(nchar_ref, seg_ref, out_ref):
+        row = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        sub = row & (SG - 1)
+        maskw = jnp.where(
+            sub < NW - 1, MW, jnp.where(sub == NW - 1, (1 << mtop) - 1, 0)
+        )
+        zero = jnp.zeros((8, LANES), jnp.int32)
+        ones = jnp.ones((8, LANES), jnp.int32)
+
+        def bnot(x):
+            return x ^ maskw
+
+        if SG > 1:
+            def roll_down(x, d):
+                return jnp.where(sub < d, 0, pltpu.roll(x, d, axis=0))
+        else:
+            def roll_down(x, d):
+                return zero
+
+        def shl1(x, bit0):
+            dn = roll_down(x, 1)
+            carry = jnp.where(sub == 0, bit0, (dn >> (WORD - 1)) & 1)
+            return ((x << 1) & maskw) | carry
+
+        def add_words(x, y):
+            s = x + y
+            if NW == 1:
+                return s & maskw
+            g = s >> WORD
+            c = roll_down(g, 1)
+            if NW > 2:
+                p = jnp.where((s & maskw) == maskw, ones, zero)
+                pp = roll_down(p, 1)
+                d = 1
+                while d < NW - 1:
+                    c = c | (pp & roll_down(c, d))
+                    pp = pp & roll_down(pp, d)
+                    d <<= 1
+            return (s + c) & maskw
+
+        wr = lax.broadcasted_iota(jnp.int32, (8, WINP), 0)
+        wc = lax.broadcasted_iota(jnp.int32, (8, WINP), 1)
+
+        def eq_weights(u):
+            t = wc - WORD * (wr - u * SG)
+            return jnp.where(
+                (wr >= u * SG) & (wr < u * SG + NW) & (t >= 0) & (t < WORD)
+                & (wc < m),
+                (jnp.int32(1) << jnp.clip(t, 0, WORD - 1)).astype(
+                    jnp.float32
+                ),
+                0.0,
+            )
+
+        wts = [eq_weights(u) for u in range(G)]
+        nchar = nchar_ref[...]
+
+        def eq_for_step(t):
+            if no_dot and no_load:
+                return (t * jnp.ones((8, LANES), jnp.int32)) & maskw
+            if no_dot:
+                e = zero
+                for u in range(G):
+                    char = seg_ref[pl.ds(u * width + t - 1, 1), :]
+                    e = e + char  # keep the load, drop the MXU work
+                return e & maskw
+            Eq_f = jnp.zeros((8, LANES), jnp.float32)
+            for u in range(G):
+                if no_load:
+                    char = (t & 0xFF) * jnp.ones((1, LANES), jnp.int32)
+                else:
+                    char = seg_ref[pl.ds(u * width + t - 1, 1), :]
+                eqf = jnp.where(nchar == char, 1.0, 0.0).astype(jnp.float32)
+                Eq_f = Eq_f + jnp.dot(
+                    wts[u], eqf, preferred_element_type=jnp.float32
+                )
+            return Eq_f.astype(jnp.int32) & maskw
+
+        def step(t, state, Eq):
+            Pv, Mv, S = state
+            Xv = Eq | Mv
+            Xh = (add_words(Eq & Pv, Pv) ^ Pv) | Eq
+            Ph = Mv | bnot(Xh | Pv)
+            Mh = Pv & Xh
+            S = S + ((Ph >> offS) & 1) - ((Mh >> offS) & 1)
+            PhS = shl1(Ph, 1 if anchored else 0)
+            MhS = shl1(Mh, 0)
+            Pv = MhS | bnot(Xv | PhS)
+            Mv = PhS & Xv
+            return (Pv, Mv, S)
+
+        def tile(t0, state, accs, r_lo):
+            eqs = [eq_for_step(t0 + r) for r in range(r_lo, 8)]
+            for r in range(r_lo, 8):
+                state = step(t0 + r, state, eqs[r - r_lo])
+                S = state[2]
+                if not no_store:
+                    for u in range(G):
+                        q = u * SG + wS
+                        rolled = pltpu.roll(S, (r - q) % 8, axis=0)
+                        accs[u] = jnp.where(row == r, rolled, accs[u])
+            if no_store:
+                accs[0] = state[2]
+            for u in range(G):
+                out_ref[pl.ds(u * OUT + t0, 8), :] = accs[u]
+            return state
+
+        s0 = jnp.full((8, LANES), m, jnp.int32)
+        state = tile(0, state=(maskw, zero, s0), accs=[s0] * G, r_lo=1)
+
+        def body(tb, state):
+            return tile(8 * tb, state, [zero] * G, 0)
+
+        lax.fori_loop(1, OUT // 8, body, state)
+
+    return kernel, G, OUT
+
+
+def run_variant(name, nchar, seg_t, m, width, seg_len, **abl):
+    kernel, G, OUT = make_kernel(m, width, seg_len, **abl)
+    BG = seg_t.shape[1]
+    WINP = nchar.shape[0]
+
+    @jax.jit
+    def go(nc, st):
+        out = pl.pallas_call(
+            kernel,
+            grid=(1, BG // LANES),
+            in_specs=[
+                pl.BlockSpec((WINP, LANES), lambda n, g: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seg_t.shape[0], LANES), lambda n, g: (0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G * OUT, LANES), lambda n, g: (n, g),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G * OUT, BG), jnp.int32),
+            interpret=jax.default_backend() != "tpu",
+        )(nc, st.astype(jnp.int32))
+        return out.sum()
+
+    int(go(nchar, seg_t))  # compile + force through the tunnel
+    best = 9e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(go(nchar, seg_t))  # np-fetch forces execution
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    NEEDLE_LEN, K = 24, 3
+    N = int(os.environ.get("PROF_MB", "64")) << 20
+    rng = np.random.default_rng(1234)
+    needle = rng.integers(97, 123, NEEDLE_LEN).astype(np.uint8)
+    hay = rng.integers(65, 91, N).astype(np.uint8)
+    halo = min(window_span(NEEDLE_LEN, K, 1, 0), N)
+    own_len = suggest_own_len(NEEDLE_LEN, halo)
+    segs, _ = chunk_raw(hay, halo, own_len)
+    seg_len = halo + own_len
+    nchar, seg_t, _ = prepare_myers_search_inputs(needle, segs)
+    width = seg_t.shape[0] // myers_search_plan(NEEDLE_LEN)[2]
+    nchar_d = jax.device_put(jnp.asarray(nchar))
+    seg_d = jax.device_put(jnp.asarray(seg_t))
+
+    for name, abl in [
+        ("full", {}),
+        ("no_store", {"no_store": True}),
+        ("no_dot", {"no_dot": True}),
+        ("no_load", {"no_load": True}),
+        ("no_dot_no_load", {"no_dot": True, "no_load": True}),
+    ]:
+        dt = run_variant(name, nchar_d, seg_d, NEEDLE_LEN, width, seg_len,
+                         **abl)
+        print(f"{name:16s} {dt*1000:7.1f}ms  {N/dt/1e9:5.2f} GB/s")
+
+
+if __name__ == "__main__":
+    main()

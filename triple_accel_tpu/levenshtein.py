@@ -831,7 +831,8 @@ def levenshtein_search_simd_with_opts(
         )
 
         G = msplan[2]
-        OUT = seg_len + 1
+        # raw padded kernel layout (pad rows hold a 2^30 sentinel)
+        OUT = -(-(seg_len + 1) // 8) * 8
         dist_d, mins_d = myers_search_block_mins(
             nchar,
             jax.device_put(seg_t),
@@ -1109,7 +1110,8 @@ def levenshtein_search_many(
             num_needles=NUM,
             interpret=jax.default_backend() != "tpu",
         )
-        OUT = seg_len + 1
+        # raw padded kernel layout (pad rows hold a 2^30 sentinel)
+        OUT = -(-(seg_len + 1) // 8) * 8
         mins = np.asarray(mins_d)
         rb, cols = np.nonzero(mins <= k)
         ni_a = gpos_a = d_a = np.empty(0, dtype=np.int64)

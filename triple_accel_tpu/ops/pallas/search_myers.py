@@ -73,7 +73,7 @@ def suggest_own_len(needle_len: int, halo: int) -> int:
     return max(128, (seg_budget // 128) * 128)
 
 
-UNROLL = 4  # haystack chars per loop iteration (MXU/VPU overlap)
+UNROLL = 8  # haystack chars per loop iteration = one output tile
 
 
 def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
@@ -82,11 +82,11 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
     WINP = _round_up(WIN, 8)  # needle-band rows (8-divisible block rows)
     wS, offS = (m - 1) // WORD, (m - 1) % WORD
     mtop = m - WORD * (NW - 1)
-    assert seg_len % UNROLL == 0
     # block rows must be 8-divisible for multi-needle (per-needle-block)
-    # output indexing; rows in [seg_len+1, OUT) are never written and the
+    # output indexing; rows in [seg_len+1, OUT) carry pad garbage and the
     # caller slices them off
     OUT = _round_up(seg_len + 1, 8)
+    assert width >= OUT - 1, (width, OUT)
 
     def kernel(nchar_ref, seg_ref, out_ref):
         # nchar_ref: [WIN, LANES]      needle chars on sublanes (-1 padded),
@@ -151,12 +151,6 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
         wts = [eq_weights(u) for u in range(G)]
         nchar = nchar_ref[...]
 
-        # D[m][0] = m (whole needle deleted), both modes
-        for u in range(G):
-            out_ref[u * OUT : u * OUT + 1, :] = jnp.full(
-                (1, LANES), m, jnp.int32
-            )
-
         def eq_for_step(t):
             Eq_f = jnp.zeros((8, LANES), jnp.float32)
             for u in range(G):
@@ -178,26 +172,45 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
             MhS = shl1(Mh, 0)
             Pv = MhS | bnot(Xv | PhS)
             Mv = PhS & Xv
-            for u in range(G):
-                out_ref[pl.ds(u * OUT + t, 1), :] = S[
-                    u * SG + wS : u * SG + wS + 1, :
-                ]
             return (Pv, Mv, S)
 
-        def body(tt, state):
-            # UNROLL chars per iteration: each step's Eq pipeline is
-            # independent of the previous step's bit chain (MXU/VPU
-            # overlap, same trick as lev_myers.py).  Per-step (1,128)
-            # stores measured FASTER than batching UNROLL rows through a
-            # concat before one store.
-            t0 = UNROLL * (tt - 1) + 1
-            eqs = [eq_for_step(t0 + r) for r in range(UNROLL)]
-            for r in range(UNROLL):
-                state = step(t0 + r, state, eqs[r])
+        def tile(t0, state, accs, r_lo):
+            # one 8-char output tile: scores for chars t0+r land on row r
+            # of G [8,128] register accumulators via STATIC roll+select,
+            # then ONE aligned [8,128] store per subgroup — per-char
+            # (1,128) stores were the kernel's bottleneck (~0.9 GB/s).
+            eqs = [eq_for_step(t0 + r) for r in range(r_lo, 8)]
+            for r in range(r_lo, 8):
+                state = step(t0 + r, state, eqs[r - r_lo])
+                S = state[2]
+                for u in range(G):
+                    q = u * SG + wS
+                    rolled = pltpu.roll(S, (r - q) % 8, axis=0)
+                    accs[u] = jnp.where(row == r, rolled, accs[u])
+            for u in range(G):
+                out_ref[pl.ds(u * OUT + t0, 8), :] = accs[u]
             return state
 
         s0 = jnp.full((8, LANES), m, jnp.int32)
-        lax.fori_loop(1, seg_len // UNROLL + 1, body, (maskw, zero, s0))
+        state = (maskw, zero, s0)
+        # tile 0: row 0 is D[m][0] = m (whole needle deleted), chars 1..7
+        state = tile(0, state, [s0 for _ in range(G)], 1)
+
+        def body(tb, state):
+            return tile(8 * tb, state, [zero for _ in range(G)], 0)
+
+        lax.fori_loop(1, OUT // 8, body, state)
+
+        # rows past seg_len are pad garbage: overwrite with a +inf sentinel
+        # so callers can min/filter the RAW padded layout without slicing
+        # (a [:seg_len+1] slice relayouts the whole output array — measured
+        # at ~half the end-to-end kernel throughput)
+        rem = OUT - (seg_len + 1)
+        if rem:
+            for u in range(G):
+                out_ref[u * OUT + seg_len + 1 : (u + 1) * OUT, :] = jnp.full(
+                    (rem, LANES), 1 << 30, jnp.int32
+                )
 
     return kernel, NW, SG, G, WIN
 
@@ -206,7 +219,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
     jax.jit,
     static_argnames=(
         "needle_len", "width", "seg_len", "anchored", "num_needles",
-        "interpret",
+        "interpret", "raw",
     ),
 )
 def myers_search_pallas(
@@ -220,6 +233,7 @@ def myers_search_pallas(
     anchored: bool = False,
     num_needles: int = 1,
     interpret: bool = False,
+    raw: bool = False,
 ):
     """Per-end-position search distances D[needle_len][j], j in [0, seg_len],
     for every (needle, segment) pair.  Returns
@@ -227,21 +241,25 @@ def myers_search_pallas(
     [n*G*(seg_len+1), (n+1)*G*(seg_len+1)); within them, segment c lives
     at block u = (c % (G*128)) // 128 rows, column (c // (G*128))*128+lane.
 
+    With `raw=True` the 8-padded layout is returned unsliced (per-needle
+    stride G*OUT rows, OUT = roundup(seg_len+1, 8); pad rows hold a 2^30
+    sentinel) — the zero-copy form for device-side reductions: the slice
+    relayouts the entire output and costs as much as the kernel itself.
+
     Multi-needle search ("dictionary" mode, beyond the reference's scope):
     the grid is (num_needles, segment blocks) — the haystack is uploaded
     and held ONCE and every needle of the same length class sweeps it in
     one launch.
     """
-    # pad the step count to the unroll factor; rows past seg_len carry
-    # zero-extension garbage that callers never map to owned positions
-    SL = _round_up(seg_len, UNROLL)
-    kernel, NW, SG, G, WIN = _make_kernel(needle_len, width, SL, anchored)
+    # rows past seg_len carry zero-extension garbage that callers never
+    # map to owned positions (sliced off below when OUT > seg_len + 1)
+    kernel, NW, SG, G, WIN = _make_kernel(needle_len, width, seg_len,
+                                          anchored)
     WINP = _round_up(WIN, 8)
     BG = seg_t.shape[1]
     assert BG % LANES == 0 and seg_t.shape[0] == G * width
     assert nchar.shape == (num_needles * WINP, LANES)
-    assert SL <= width, (SL, width)
-    OUT = _round_up(SL + 1, 8)
+    OUT = _round_up(seg_len + 1, 8)
     # segments may arrive as uint8 (4x less host->device traffic); the
     # kernel compares against int32 needle chars, so widen on device first
     seg_t = seg_t.astype(jnp.int32)
@@ -260,7 +278,7 @@ def myers_search_pallas(
                                        jnp.int32),
         interpret=interpret,
     )(nchar, seg_t)
-    if OUT != seg_len + 1:
+    if not raw and OUT != seg_len + 1:
         out = out.reshape(num_needles * G, OUT, BG)[:, : seg_len + 1]
         out = out.reshape(-1, BG)
     return out
@@ -314,11 +332,16 @@ def myers_search_block_mins(
 
     Fetching the full distance array costs 4 bytes per haystack byte; the
     minima are BLOCK times smaller, and the host then fetches only the
-    row-blocks that can contain hits (myers_gather_blocks)."""
+    row-blocks that can contain hits (myers_gather_blocks).
+
+    `dist` is in the kernel's RAW padded layout (per-needle row stride
+    G*roundup(seg_len+1, 8); pad rows hold a 2^30 sentinel) — slicing to
+    seg_len+1 would relayout the whole array and halve throughput, so
+    callers decode positions with OUT = roundup(seg_len+1, 8)."""
     dist = myers_search_pallas(
         nchar, seg_t, needle_len=needle_len, width=width,
         seg_len=seg_len, anchored=anchored, num_needles=num_needles,
-        interpret=interpret,
+        interpret=interpret, raw=True,
     )
     R = dist.shape[0]
     pad = (-R) % BLOCK
@@ -371,7 +394,9 @@ def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
     NW, SG, G, WIN = plan
     seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
     C0, width0 = seg_pad.shape
-    width = _round_up(max(width0, 1), 8)
+    # the kernel's tiled stores sweep chars up to OUT-1 = roundup(w0+1,8)-1,
+    # and Mosaic blocks need 8-divisible heights
+    width = _round_up(max(width0, 1) + 1, 8)
     # at least two 128-lane grid blocks — this Mosaic runtime faults the
     # TPU worker on single-step grids
     BG = max(_round_up(max(-(-C0 // G), 1), LANES), 2 * LANES)
