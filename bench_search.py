@@ -92,6 +92,13 @@ def main():
     assert host.shape[0] == reps
     gbps = N * reps / dt / 1e9
 
+    # roofline check (utils/profiling.search_kernel_cost_estimate): the
+    # serial bit-chain floor; regressions judge against this, not history
+    from triple_accel_tpu.utils.profiling import search_kernel_cost_estimate
+
+    roof = search_kernel_cost_estimate(NEEDLE_LEN)
+    frac = gbps * 1e9 / roof["ideal_bytes_per_sec"]
+
     print(
         json.dumps(
             {
@@ -99,12 +106,15 @@ def main():
                 "value": round(gbps * 1e9, 1),
                 "unit": "bytes/s",
                 "vs_baseline": round(gbps, 3),
+                "roofline_frac": round(frac, 3),
             }
         )
     )
     print(
         f"# device={jax.devices()[0]} haystack={HAY_MB}MB reps={reps} "
-        f"{gbps:.3f} GB/s, device hits={hits0}",
+        f"{gbps:.3f} GB/s, device hits={hits0}, "
+        f"roofline={roof['ideal_bytes_per_sec']/1e9:.1f} GB/s "
+        f"({frac:.0%} of serial bit-chain floor)",
         file=sys.stderr,
     )
 

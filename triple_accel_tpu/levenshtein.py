@@ -165,15 +165,15 @@ def levenshtein_simd_k_with_opts(
 
     Returns None when the distance exceeds the (capped) threshold; with
     `trace_on`, additionally returns the RLE edit traceback.  The name is
-    kept for API parity — on TPU "SIMD" means the batched banded wavefront
-    scan / Pallas kernel selected by trace-time dispatch.
+    kept for API parity — per the SURVEY design stance the single-pair
+    DISTANCE wrapper routes through the batched dispatcher at batch size
+    1, so it reaches the same native kernels (bit-parallel Myers / Pallas
+    band / scan fallback) the batch API uses, chosen by the same rules.
+    Single-pair tracebacks keep the direct wavefront + host decode: the
+    batched device-walk program costs two compiles per fresh shape, which
+    a one-off traced pair never amortizes (use levenshtein_k_batch with
+    trace_on for bulk tracing).
     """
-    from .ops.band_scan import (
-        band_scan_distance,
-        decode_traceback,
-        prepare_band_inputs,
-    )
-
     a = to_bytes_array(a)
     b = to_bytes_array(b)
     if len(a) == 0 and len(b) == 0:
@@ -181,6 +181,18 @@ def levenshtein_simd_k_with_opts(
 
     if forced_path() == "oracle":
         return levenshtein_naive_k_with_opts(a, b, k, trace_on, costs)
+
+    if not trace_on:
+        dists = levenshtein_k_batch([a], [b], k, costs)
+        if dists[0] < 0:
+            return None
+        return (int(dists[0]), None)
+
+    from .ops.band_scan import (
+        band_scan_distance,
+        decode_traceback,
+        prepare_band_inputs,
+    )
 
     max_k = compute_max_k(len(a), len(b), k, costs)
     unit_k = min(compute_unit_k(max_k, costs), max(len(a), len(b)))
@@ -213,13 +225,11 @@ def levenshtein_simd_k_with_opts(
         unit_k=uk_dev,
         max_m=max_m,
         costs_t=_costs_tuple(costs),
-        trace_on=trace_on,
+        trace_on=True,
     )
     d = int(np.asarray(dist)[0])
     if d > max_k:
         return None
-    if not trace_on:
-        return (d, None)
     codes_np = np.asarray(codes)[:, 0, :]
     return (d, decode_traceback(codes_np, a_new, b_new, uk_dev, swap))
 

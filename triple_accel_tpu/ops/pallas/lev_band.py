@@ -25,6 +25,20 @@ costs): int8 packs 4 band cells per 32-bit VPU lane, int16 packs 2 — the
 same saturating-unsigned trick, realized as a signed dtype with a
 headroom-checked +inf sentinel and an explicit clamp per step (the
 reference instead relies on hardware saturating adds, jewel.rs:2264-2288).
+
+NARROW-DTYPE STATUS ON HARDWARE (verified again 2026-08-16, round 2):
+the ladder remains interpret-only.  Compiling the int16 variant still
+crashes the Mosaic toolchain in this environment — the remote compile
+helper exits with "HTTP 500: tpu_compile_helper subprocess exit code 1"
+on the kernel's sub-int32 `pltpu.roll`/select ops (reproduce with
+TRIPLE_ACCEL_TPU_NARROW_BAND=1 TRIPLE_ACCEL_TPU_FORCE_PATH=pallas_band
+on any TPU batch).  Manual SWAR packing (2 x int16 cells per int32 lane,
+the trick lev_myers.py uses at 20-bit granularity) was evaluated and
+rejected for THIS kernel: the band recurrence is `min`-dominated, and a
+guarded SWAR min costs ~4-5 VPU ops per packed pair versus 2 ops for the
+same pair unpacked — a net loss.  Packing only pays for bitwise-dominated
+recurrences, which is exactly why the unit-cost path already runs the
+bit-parallel Myers kernel (20 DP cells per lane) instead of this one.
 """
 
 from __future__ import annotations

@@ -73,10 +73,11 @@ def suggest_own_len(needle_len: int, halo: int) -> int:
     return max(128, (seg_budget // 128) * 128)
 
 
-UNROLL = 8  # haystack chars per loop iteration = one output tile
+UNROLL = 4  # haystack chars per loop iteration (MXU/VPU overlap)
 
 
-def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
+def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
+                 tiled_stores: bool = True):
     m = needle_len
     NW, SG, G, WIN = myers_search_plan(m)
     WINP = _round_up(WIN, 8)  # needle-band rows (8-divisible block rows)
@@ -172,34 +173,64 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool):
             MhS = shl1(Mh, 0)
             Pv = MhS | bnot(Xv | PhS)
             Mv = PhS & Xv
+            if not tiled_stores:
+                # per-char (1,128) stores: the interpret-mode form (each
+                # op costs python time there, so fewer ops wins).  The
+                # unrolled tail may step past the block (t >= OUT would
+                # clobber the next subgroup's rows); rows in
+                # (seg_len, OUT) are sentinel-filled after the loop.
+                @pl.when(t < OUT)
+                def _():
+                    for u in range(G):
+                        out_ref[pl.ds(u * OUT + t, 1), :] = S[
+                            u * SG + wS : u * SG + wS + 1, :
+                        ]
             return (Pv, Mv, S)
 
-        def tile(t0, state, accs, r_lo):
-            # one 8-char output tile: scores for chars t0+r land on row r
-            # of G [8,128] register accumulators via STATIC roll+select,
-            # then ONE aligned [8,128] store per subgroup — per-char
-            # (1,128) stores were the kernel's bottleneck (~0.9 GB/s).
-            eqs = [eq_for_step(t0 + r) for r in range(r_lo, 8)]
-            for r in range(r_lo, 8):
-                state = step(t0 + r, state, eqs[r - r_lo])
-                S = state[2]
-                for u in range(G):
-                    q = u * SG + wS
-                    rolled = pltpu.roll(S, (r - q) % 8, axis=0)
-                    accs[u] = jnp.where(row == r, rolled, accs[u])
-            for u in range(G):
-                out_ref[pl.ds(u * OUT + t0, 8), :] = accs[u]
-            return state
-
         s0 = jnp.full((8, LANES), m, jnp.int32)
-        state = (maskw, zero, s0)
-        # tile 0: row 0 is D[m][0] = m (whole needle deleted), chars 1..7
-        state = tile(0, state, [s0 for _ in range(G)], 1)
+        if tiled_stores:
+            # compiled form: accumulate 8 chars' scores into G [8,128]
+            # register tiles (static roll+select), one aligned store per
+            # subgroup per tile — measured +24% over per-char stores on
+            # chip (5.11 -> 6.36 GB/s, benches/search_kernel_profile.py)
+            def tile(t0, state, accs, r_lo):
+                eqs = [eq_for_step(t0 + r) for r in range(r_lo, 8)]
+                for r in range(r_lo, 8):
+                    state = step(t0 + r, state, eqs[r - r_lo])
+                    S = state[2]
+                    for u in range(G):
+                        q = u * SG + wS
+                        rolled = pltpu.roll(S, (r - q) % 8, axis=0)
+                        accs[u] = jnp.where(row == r, rolled, accs[u])
+                for u in range(G):
+                    out_ref[pl.ds(u * OUT + t0, 8), :] = accs[u]
+                return state
 
-        def body(tb, state):
-            return tile(8 * tb, state, [zero for _ in range(G)], 0)
+            # tile 0: row 0 = D[m][0] = m (whole needle deleted)
+            state = tile(0, (maskw, zero, s0), [s0 for _ in range(G)], 1)
 
-        lax.fori_loop(1, OUT // 8, body, state)
+            def body(tb, state):
+                return tile(8 * tb, state, [zero for _ in range(G)], 0)
+
+            lax.fori_loop(1, OUT // 8, body, state)
+        else:
+            # D[m][0] = m, both modes
+            for u in range(G):
+                out_ref[u * OUT : u * OUT + 1, :] = jnp.full(
+                    (1, LANES), m, jnp.int32
+                )
+
+            def body(tt, state):
+                # UNROLL chars per iteration: each step's Eq pipeline is
+                # independent of the previous step's bit chain
+                t0 = UNROLL * (tt - 1) + 1
+                eqs = [eq_for_step(t0 + r) for r in range(UNROLL)]
+                for r in range(UNROLL):
+                    state = step(t0 + r, state, eqs[r])
+                return state
+
+            SL = _round_up(seg_len, UNROLL)
+            lax.fori_loop(1, SL // UNROLL + 1, body, (maskw, zero, s0))
 
         # rows past seg_len are pad garbage: overwrite with a +inf sentinel
         # so callers can min/filter the RAW padded layout without slicing
@@ -252,9 +283,12 @@ def myers_search_pallas(
     one launch.
     """
     # rows past seg_len carry zero-extension garbage that callers never
-    # map to owned positions (sliced off below when OUT > seg_len + 1)
+    # map to owned positions (sliced off below when OUT > seg_len + 1);
+    # tiled stores compile faster on chip, per-char stores run faster
+    # under the python interpreter
     kernel, NW, SG, G, WIN = _make_kernel(needle_len, width, seg_len,
-                                          anchored)
+                                          anchored,
+                                          tiled_stores=not interpret)
     WINP = _round_up(WIN, 8)
     BG = seg_t.shape[1]
     assert BG % LANES == 0 and seg_t.shape[0] == G * width

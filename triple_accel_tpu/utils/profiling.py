@@ -19,7 +19,12 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, Optional
 
-__all__ = ["trace", "Throughput", "kernel_cost_estimate"]
+__all__ = [
+    "trace",
+    "Throughput",
+    "kernel_cost_estimate",
+    "search_kernel_cost_estimate",
+]
 
 
 @contextlib.contextmanager
@@ -100,3 +105,27 @@ def kernel_cost_estimate(
         "ideal_seconds": ideal_seconds,
         "ideal_pairs_per_sec": batch / ideal_seconds if ideal_seconds else 0.0,
     }
+
+
+def search_kernel_cost_estimate(
+    needle_len: int,
+    ops_per_char: int = 32,
+    clock_hz: float = 0.94e9,
+) -> Dict[str, float]:
+    """Roofline for the bit-parallel Myers search kernel
+    (ops/pallas/search_myers.py): each kernel step advances G*128 haystack
+    positions through a sequential chain of ~ops_per_char single-vreg VPU
+    ops (the Myers bit recurrence; Eq dots and stores overlap it).  The
+    chain is the serial floor, so
+
+        ideal_bytes_per_sec = G * 128 * clock / ops_per_char.
+
+    bench_search.py reports measured/ideal so kernel regressions are
+    judged against speed-of-light rather than against history.
+    """
+    from ..ops.pallas.search_myers import myers_search_plan
+
+    plan = myers_search_plan(needle_len)
+    g = plan[2] if plan else 1
+    ideal = g * 128 * clock_hz / ops_per_char
+    return {"ideal_bytes_per_sec": ideal, "subgroups": float(g)}
