@@ -192,3 +192,116 @@ int64_t ta_myers_distance_batch(const uint8_t* a, const int64_t* a_lens,
 }
 
 }  // extern "C"
+
+namespace {
+
+// Search DP with match-length tracking — a faithful C++ port of the
+// Python oracle's levenshtein_search_naive_with_opts inner loop
+// (oracle/levenshtein.py:351-508; reference levenshtein.rs:1589-1838),
+// All-mode: emits (end, dist, length) for every end position with
+// dist <= k, including the exact maximize-length tie-break order.
+int64_t search_all_one(const uint8_t* needle, int64_t m, const uint8_t* hay,
+                       int64_t n, int64_t k, int64_t mc, int64_t gc,
+                       int64_t sgc, int64_t tc, bool allow_transpose,
+                       bool anchored, int64_t cap, int64_t* out_end,
+                       int64_t* out_k, int64_t* out_len) {
+    if (m == 0) return 0;  // callers handle the empty-needle special cases
+    int64_t length = m + 1;
+    std::vector<int64_t> dp0(length, 0), dp1(length, 0), dp2(length, 0);
+    std::vector<int64_t> ng(length, INF), hg(length, INF);
+    std::vector<int64_t> len0(length, 0), len1(length, 0), len2(length, 0);
+    std::vector<int64_t> ngl(length, 0), hgl(length, 0);
+
+    int64_t iter_len = n;
+    if (anchored) {
+        int64_t cap_cols = m + (k > sgc ? (k - sgc) / gc : 0);
+        iter_len = cap_cols < n ? cap_cols : n;
+    }
+    int64_t cnt = 0;
+    for (int64_t j = 0; j < length; ++j)
+        dp1[j] = j * gc + (j == 0 ? 0 : sgc);
+    if (dp1[m] <= k && cnt < cap) {
+        out_end[cnt] = 0; out_k[cnt] = dp1[m]; out_len[cnt] = 0; ++cnt;
+    }
+    for (int64_t i = 0; i < iter_len; ++i) {
+        int64_t boundary = anchored ? (i + 1) * gc + sgc : 0;
+        ng[0] = boundary;
+        dp2[0] = boundary;
+        ngl[0] = 0;
+        len2[0] = 0;
+        for (int64_t j = 1; j < length; ++j) {
+            int64_t sub =
+                dp1[j - 1] + (needle[j - 1] != hay[i] ? mc : 0);
+
+            int64_t new_gap = dp1[j] + sgc + gc;
+            int64_t cont_gap = sat_add(ng[j], gc);
+            if (new_gap < cont_gap) {
+                ng[j] = new_gap; ngl[j] = len1[j] + 1;
+            } else if (new_gap > cont_gap) {
+                ng[j] = cont_gap; ngl[j] += 1;
+            } else {
+                ng[j] = cont_gap;
+                ngl[j] = (len1[j] > ngl[j] ? len1[j] : ngl[j]) + 1;
+            }
+
+            new_gap = dp2[j - 1] + sgc + gc;
+            cont_gap = sat_add(hg[j - 1], gc);
+            if (new_gap < cont_gap) {
+                hg[j] = new_gap; hgl[j] = len2[j - 1];
+            } else if (new_gap > cont_gap) {
+                hg[j] = cont_gap; hgl[j] = hgl[j - 1];
+            } else {
+                hg[j] = cont_gap;
+                hgl[j] = len2[j - 1] > hgl[j - 1] ? len2[j - 1] : hgl[j - 1];
+            }
+
+            dp2[j] = ng[j];
+            len2[j] = ngl[j];
+            if (hg[j] < dp2[j] || (hg[j] == dp2[j] && len2[j - 1] > len2[j])) {
+                dp2[j] = hg[j];
+                len2[j] = hgl[j];
+            }
+            if (sub < dp2[j] ||
+                (sub == dp2[j] && len1[j - 1] + 1 > len2[j])) {
+                dp2[j] = sub;
+                len2[j] = len1[j - 1] + 1;
+            }
+            if (allow_transpose && i > 0 && j > 1 &&
+                needle[j - 1] == hay[i - 1] && needle[j - 2] == hay[i]) {
+                int64_t transpose = dp0[j - 2] + tc;
+                if (transpose <= dp2[j]) {
+                    dp2[j] = transpose;
+                    len2[j] = len0[j - 2] + 2;
+                }
+            }
+        }
+        int64_t final_res = dp2[m], final_len = len2[m];
+        dp0.swap(dp1); dp1.swap(dp2);
+        len0.swap(len1); len1.swap(len2);
+        if (final_res <= k) {
+            if (cnt >= cap) return -1;  // caller retries with a bigger cap
+            out_end[cnt] = i + 1; out_k[cnt] = final_res;
+            out_len[cnt] = final_len; ++cnt;
+        }
+    }
+    return cnt;
+}
+
+}  // namespace
+
+extern "C" {
+
+// All-mode search candidates: every end position with dist <= k, with the
+// oracle's exact maximize-length tie-break.  Returns the candidate count,
+// or -1 if `cap` was too small.
+int64_t ta_search_all(const uint8_t* needle, int64_t m, const uint8_t* hay,
+                      int64_t n, int64_t k, int32_t mc, int32_t gc,
+                      int32_t sgc, int32_t tc, int32_t allow_transpose,
+                      int32_t anchored, int64_t cap, int64_t* out_end,
+                      int64_t* out_k, int64_t* out_len) {
+    return search_all_one(needle, m, hay, n, k, mc, gc, sgc, tc,
+                          allow_transpose != 0, anchored != 0, cap, out_end,
+                          out_k, out_len);
+}
+
+}  // extern "C"

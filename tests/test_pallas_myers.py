@@ -283,3 +283,33 @@ def test_search_many_matches_per_needle_api(search_type_name):
         del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
     for i, (g, e) in enumerate(zip(many, singles)):
         assert g == e, (i, g[:4], e[:4])
+
+
+@pytest.mark.parametrize("m", [161, 300])
+def test_myers_long_needle_matches_oracle(m):
+    # multi-vreg Myers (needles beyond the 160-char single-vreg budget,
+    # state tiles [roundup(NW,8), 128]): exact vs the oracle
+    import os
+
+    from triple_accel_tpu.levenshtein import levenshtein_search_simd_with_opts
+    from triple_accel_tpu.oracle import levenshtein_search_naive_with_opts
+    from triple_accel_tpu.types import LEVENSHTEIN_COSTS, SearchType
+
+    rng = np.random.default_rng(m)
+    needle = rng.integers(60, 80, m).astype(np.uint8)
+    hay = rng.integers(60, 80, 700).astype(np.uint8)
+    mut = needle.copy()
+    mut[rng.integers(0, m, 4)] = 60
+    hay[200 : 200 + m] = mut
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        for st in (SearchType.All, SearchType.Best):
+            ref = levenshtein_search_naive_with_opts(
+                needle, hay, 6, st, LEVENSHTEIN_COSTS, False
+            )
+            got = levenshtein_search_simd_with_opts(
+                needle, hay, 6, st, LEVENSHTEIN_COSTS, False
+            )
+            assert got == ref, (m, st)
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]

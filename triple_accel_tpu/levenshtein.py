@@ -722,9 +722,23 @@ def _hit_resolve(
     see ops/pallas/search_myers.chunk_raw) and must be dropped.  The
     oracle's distance is returned rather than the kernel's for the same
     reason: pad contamination can only lower the kernel's value, never
-    raise it, so the replay is authoritative in both directions."""
+    raise it, so the replay is authoritative in both directions.
+
+    The replay runs through the C++ oracle port when built
+    (native/scalar_baseline.cpp ta_search_all, ~100x the Python loops —
+    a long-needle window replay costs seconds in Python); the Python
+    oracle remains the fallback and the conformance anchor."""
+    from .utils.native import search_all_native
+
     w0 = max(0, j - span)
     window = haystack[w0:j]
+    native = search_all_native(needle, window, k, costs, False)
+    if native is not None:
+        ends, ks, lens = native
+        idx = np.flatnonzero(ends == j - w0)
+        if idx.size:
+            return int(ks[idx[0]]), int(lens[idx[0]])
+        return None
     for mt in levenshtein_search_naive_with_opts(
         needle, window, k, SearchType.All, costs, False
     ):
@@ -915,11 +929,22 @@ def levenshtein_search_simd_with_opts(
         # general engine below tracks lengths on device, so per-hit oracle
         # replays are avoided at the cost of a second device pass
     effective_n = iter_len
-    # longer segments amortize halo overlap and host-side prep; the
-    # pallas kernel's VMEM budget comfortably fits 4096-char segments
-    chunk_target = 4096
+    # VMEM-aware segment sizing for the general kernel: ~13 mP-tile
+    # scratch rings + double-buffered seg/out blocks must fit the 16MB
+    # scoped VMEM (measured OOM at m=700 with 4801-char segments).  The
+    # row budget below targets ~11MB; when even a minimal segment cannot
+    # fit (very long needles), the scan path takes over.
+    mP8 = -(-(m + 1) // 8) * 8
+    rows_budget = 11_000_000 // (128 * 4)
+    max_seg = (rows_budget - 15 * mP8 - 4 * m) // 6
+    if use_pallas and max_seg < halo + 128:
+        use_pallas = False
+    # longer segments amortize halo overlap and host-side prep
+    chunk_target = min(4096, max(((max_seg - halo) // 128) * 128, 128))
     if effective_n <= chunk_target or anchored:
         own_len = round_up_pow2(max(effective_n, 1), 16)
+        if use_pallas and anchored and own_len + halo > max_seg:
+            use_pallas = False  # anchored runs as ONE segment; too big
     else:
         own_len = chunk_target
 
@@ -934,12 +959,6 @@ def levenshtein_search_simd_with_opts(
         padded_m=m,
         padded_n=seg_len,
     ).log("levenshtein_search_simd_with_opts")
-
-    # VMEM guard: the general search kernel keeps ~13 needle-sized scratch
-    # tiles resident (history rings + running state); very long needles
-    # must take the scan path instead of OOMing the Mosaic compile
-    if use_pallas and m > 1024:
-        use_pallas = False
 
     if use_pallas:
         import jax

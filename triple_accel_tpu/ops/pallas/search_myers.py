@@ -49,18 +49,30 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+MAX_NW = 64  # words per needle column; 64*20 = 1280-char needle ceiling
+
+
 def myers_search_plan(needle_len: int):
     """(NW, SG, G, WIN) for a needle of `needle_len` chars; None when the
-    needle exceeds the 8-word budget (falls back to the general kernel)."""
+    needle exceeds the word budget (falls back to the general kernel).
+
+    Short needles (<= 8 words = 160 chars) pack G = 8/SG independent
+    segment-blocks into one 8-sublane vector register.  Longer needles
+    (up to MAX_NW words = 1280 chars) span multiple vregs instead: the
+    state tiles grow to [roundup(NW, 8), 128] rows and G drops to 1 —
+    Mosaic lowers the cross-vreg rolls, so the same kernel body works."""
     if needle_len < 1:
         return None
     NW = -(-needle_len // WORD)
-    if NW > 8:
+    if NW > MAX_NW:
         return None
-    SG = 1
-    while SG < NW:
-        SG <<= 1
-    return NW, SG, 8 // SG, NW * WORD
+    if NW <= 8:
+        SG = 1
+        while SG < NW:
+            SG <<= 1
+        return NW, SG, 8 // SG, NW * WORD
+    R = _round_up(NW, 8)
+    return NW, R, 1, NW * WORD
 
 
 def suggest_own_len(needle_len: int, halo: int) -> int:
@@ -80,6 +92,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
                  tiled_stores: bool = True):
     m = needle_len
     NW, SG, G, WIN = myers_search_plan(m)
+    TR = SG * G  # state-tile rows: 8 (subgroup-packed) or roundup(NW, 8)
     WINP = _round_up(WIN, 8)  # needle-band rows (8-divisible block rows)
     wS, offS = (m - 1) // WORD, (m - 1) % WORD
     mtop = m - WORD * (NW - 1)
@@ -94,13 +107,13 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
         #                              replicated across lanes
         # seg_ref:   [G*width, LANES]  text chars per segment-block (-2 pad)
         # out_ref:   [G*OUT, LANES]    D[m][j] per end position j
-        row = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-        sub = row & (SG - 1)
+        row = lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
+        sub = row if G == 1 else row & (SG - 1)
         maskw = jnp.where(
             sub < NW - 1, MW, jnp.where(sub == NW - 1, (1 << mtop) - 1, 0)
         )
-        zero = jnp.zeros((8, LANES), jnp.int32)
-        ones = jnp.ones((8, LANES), jnp.int32)
+        zero = jnp.zeros((TR, LANES), jnp.int32)
+        ones = jnp.ones((TR, LANES), jnp.int32)
 
         def bnot(x):
             return x ^ maskw
@@ -137,8 +150,8 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
         # dot (unlike lev_myers): the fused variant materializes a G*WIN
         # concat each step, which outweighs the saved MXU dispatches for
         # these tiny windows
-        wr = lax.broadcasted_iota(jnp.int32, (8, WINP), 0)
-        wc = lax.broadcasted_iota(jnp.int32, (8, WINP), 1)
+        wr = lax.broadcasted_iota(jnp.int32, (TR, WINP), 0)
+        wc = lax.broadcasted_iota(jnp.int32, (TR, WINP), 1)
 
         def eq_weights(u):
             t = wc - WORD * (wr - u * SG)
@@ -153,7 +166,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
         nchar = nchar_ref[...]
 
         def eq_for_step(t):
-            Eq_f = jnp.zeros((8, LANES), jnp.float32)
+            Eq_f = jnp.zeros((TR, LANES), jnp.float32)
             for u in range(G):
                 char = seg_ref[pl.ds(u * width + t - 1, 1), :]
                 eqf = jnp.where(nchar == char, 1.0, 0.0).astype(jnp.float32)
@@ -187,7 +200,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
                         ]
             return (Pv, Mv, S)
 
-        s0 = jnp.full((8, LANES), m, jnp.int32)
+        s0 = jnp.full((TR, LANES), m, jnp.int32)
         if tiled_stores:
             # compiled form: accumulate 8 chars' scores into G [8,128]
             # register tiles (static roll+select), one aligned store per
@@ -200,10 +213,10 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
                     S = state[2]
                     for u in range(G):
                         q = u * SG + wS
-                        rolled = pltpu.roll(S, (r - q) % 8, axis=0)
+                        rolled = pltpu.roll(S, (r - q) % TR, axis=0)
                         accs[u] = jnp.where(row == r, rolled, accs[u])
                 for u in range(G):
-                    out_ref[pl.ds(u * OUT + t0, 8), :] = accs[u]
+                    out_ref[pl.ds(u * OUT + t0, 8), :] = accs[u][0:8, :]
                 return state
 
             # tile 0: row 0 = D[m][0] = m (whole needle deleted)

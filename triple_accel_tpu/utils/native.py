@@ -25,6 +25,7 @@ __all__ = [
     "postprocess_hamming_native",
     "scalar_banded_batch_native",
     "myers_distance_batch_native",
+    "search_all_native",
 ]
 
 _LIB_NAME = "libta_native.so"
@@ -70,6 +71,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 lib.ta_myers_distance_batch.argtypes = [
                     u8p, i64p, ctypes.c_int64, u8p, i64p, ctypes.c_int64,
                     ctypes.c_int64, ctypes.c_int64, i64p,
+                ]
+            if hasattr(lib, "ta_search_all"):
+                lib.ta_search_all.restype = ctypes.c_int64
+                lib.ta_search_all.argtypes = [
+                    u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int64, i64p, i64p, i64p,
                 ]
             return lib
     return None
@@ -184,3 +193,39 @@ def myers_distance_batch_native(a_list, b_list, k: int) -> Optional[np.ndarray]:
         len(a_list), k, _as_i64_ptr(out),
     )
     return out
+
+
+def search_all_native(
+    needle, haystack, k: int, costs, anchored: bool = False
+) -> "Optional[tuple]":
+    """All-mode search candidates via the C++ oracle port
+    (native/scalar_baseline.cpp ta_search_all): every end position with
+    dist <= k as (ends, dists, lengths) int64 arrays, with the exact
+    maximize-length tie-break.  ~100x the Python oracle — used by the
+    per-hit window replays in levenshtein._hit_resolve, where a single
+    long-needle window otherwise costs seconds of host time.  Returns
+    None if the library isn't built (callers fall back to the oracle)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ta_search_all"):
+        return None
+    from ..types import to_bytes_array
+
+    nd = np.ascontiguousarray(to_bytes_array(needle))
+    hy = np.ascontiguousarray(to_bytes_array(haystack))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    cap = len(hy) + 2
+    while True:
+        out_e = np.empty(cap, dtype=np.int64)
+        out_k = np.empty(cap, dtype=np.int64)
+        out_l = np.empty(cap, dtype=np.int64)
+        cnt = lib.ta_search_all(
+            nd.ctypes.data_as(u8p), len(nd), hy.ctypes.data_as(u8p),
+            len(hy), k,
+            costs.mismatch_cost, costs.gap_cost, costs.start_gap_cost,
+            costs.transpose_cost_or_zero,
+            1 if costs.allow_transpose else 0, 1 if anchored else 0,
+            cap, _as_i64_ptr(out_e), _as_i64_ptr(out_k), _as_i64_ptr(out_l),
+        )
+        if cnt >= 0:
+            return out_e[:cnt], out_k[:cnt], out_l[:cnt]
+        cap *= 2
