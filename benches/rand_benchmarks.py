@@ -144,8 +144,54 @@ def main():
                                                       SearchType.All)
         )
 
+    # group 6 (beyond the reference): batched tracebacks in one program
+    from triple_accel_tpu.oracle import levenshtein_naive_k_with_opts
+
+    TB = 32 if quick else 256
+    dists_t, traces_t = levenshtein_k_batch(
+        a_list[:TB], b_list[:TB], 100, trace_on=True
+    )
+    for i in range(2):
+        ref = levenshtein_naive_k_with_opts(a_list[i], b_list[i], 100, True)
+        assert dists_t[i] == ref[0] and traces_t[i] == ref[1], i
+    dt = timeit(
+        lambda: levenshtein_k_batch(a_list[:TB], b_list[:TB], 100,
+                                    trace_on=True)
+    )
+    results["traced_batch_pairs_per_sec"] = TB / dt
+
+    # group 7: mixed-length batch through per-bucket dispatch
+    mixed_a = a_list[: B // 8] + [rand_str(64) for _ in range(B)]
+    mixed_b = b_list[: B // 8] + [mutate(s, 3) for s in mixed_a[B // 8 :]]
+    for i in (0, len(mixed_a) - 1):
+        ref = levenshtein_naive_k(mixed_a[i], mixed_b[i], 100)
+        got = int(levenshtein_k_batch([mixed_a[i]], [mixed_b[i]], 100)[0])
+        assert got == (ref if ref is not None else -1)
+    dt = timeit(lambda: levenshtein_k_batch(mixed_a, mixed_b, 100))
+    results["mixed_batch_pairs_per_sec"] = len(mixed_a) / dt
+
+    # group 8: dictionary search (same-length needles, one resident haystack)
+    from triple_accel_tpu.levenshtein import levenshtein_search_many
+
+    hay8 = rand_str(65536 if quick else 1 << 20)
+    needles8 = [rand_str(24) for _ in range(8)]
+    hay8 = plant(hay8, needles8[0], 2)
+    many = levenshtein_search_many(needles8, hay8, 3, SearchType.All)
+    for i in (0, 7):
+        assert many[i] == levenshtein_search_simd_with_opts(
+            needles8[i], hay8, 3, SearchType.All
+        ), i
+    dt = timeit(
+        lambda: levenshtein_search_many(needles8, hay8, 3, SearchType.All)
+    )
+    results["dictionary_search_bytes_per_sec"] = len(hay8) * len(needles8) / dt
+
     for name, v in results.items():
-        unit = "pairs/s" if name.endswith("per_sec") else "s"
+        unit = (
+            "pairs/s" if name.endswith("pairs_per_sec")
+            else "bytes/s" if name.endswith("bytes_per_sec")
+            else "s"
+        )
         print(json.dumps({"bench": name, "value": round(v, 6), "unit": unit}))
     print("# all differential asserts passed", file=sys.stderr)
 

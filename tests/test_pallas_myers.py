@@ -313,3 +313,32 @@ def test_myers_long_needle_matches_oracle(m):
             assert got == ref, (m, st)
     finally:
         del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+
+
+def test_search_many_long_needles():
+    # dictionary mode with multi-vreg needles (m > 160): the
+    # (needles x segment-blocks) grid and collect_hits decode must agree
+    # with the per-needle oracle
+    import os
+
+    from triple_accel_tpu.levenshtein import levenshtein_search_many
+    from triple_accel_tpu.oracle import levenshtein_search_naive_with_opts
+    from triple_accel_tpu.types import LEVENSHTEIN_COSTS, SearchType
+
+    rng = np.random.default_rng(99)
+    m = 200
+    needles = [rng.integers(60, 80, m).astype(np.uint8) for _ in range(3)]
+    hay = rng.integers(60, 80, 900).astype(np.uint8)
+    mut = needles[1].copy()
+    mut[rng.integers(0, m, 3)] = 60
+    hay[300 : 300 + m] = mut
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        res = levenshtein_search_many(needles, hay, 5, SearchType.All)
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+    for i, nd in enumerate(needles):
+        ref = levenshtein_search_naive_with_opts(
+            nd, hay, 5, SearchType.All, LEVENSHTEIN_COSTS, False
+        )
+        assert res[i] == ref, i
