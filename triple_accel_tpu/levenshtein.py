@@ -474,30 +474,66 @@ def levenshtein_k_batch(
     use_pallas = _use_pallas()
 
     if trace_on:
-        from .ops.band_scan import band_trace_batch, decode_walked_traceback
 
+        # native trace path: the Pallas band kernel emits packed argmin
+        # codes and the device walk runs over them — VMEM must hold the
+        # [max_m * P8] packed-code block alongside the band state
+        from .ops.pallas.lev_band import PACK
+
+        P8 = -(-(-(-(2 * uk_dev + 1) // PACK)) // 8) * 8
+        trace_pallas = (
+            use_pallas
+            and (max_m * (P8 + 3) + 2 * uk_dev + 1) <= 16384
+        )
         DispatchDecision(
-            path="trace_batch",
+            path="trace_pallas" if trace_pallas else "trace_batch",
             cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
             unit_k=uk_dev,
             max_k=int(max_ks.max(initial=0)),
             padded_m=max_m,
             padded_n=B,
         ).log("levenshtein_k_batch")
-        a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(
-            swapped_a, swapped_b, uk_dev, max_m
-        )
-        dist, seq, _steps = band_trace_batch(
-            a_pad, b_pad, m_arr, n_arr,
-            unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
-        )
-        out = np.asarray(dist).astype(np.int64)
+        if trace_pallas:
+            import jax
+
+            from .ops.band_scan import walk_packed_traceback
+            from .ops.pallas.lev_band import (
+                band_trace_pallas,
+                prepare_pallas_inputs,
+            )
+
+            a_t, b_t, m2, n2, c_fin = prepare_pallas_inputs(
+                swapped_a, swapped_b, uk_dev, max_m
+            )
+            dist2, codes = band_trace_pallas(
+                a_t, b_t, m2, n2, c_fin,
+                unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
+                interpret=jax.default_backend() != "tpu",
+            )
+            seq, _steps = walk_packed_traceback(
+                codes, a_t, b_t, m2, n2,
+                unit_k=uk_dev, max_m=max_m, P8=P8,
+            )
+            out = np.asarray(dist2)[0, :B].astype(np.int64)
+            seq_np = np.asarray(seq)[:B]
+        else:
+            from .ops.band_scan import band_trace_batch
+
+            a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(
+                swapped_a, swapped_b, uk_dev, max_m
+            )
+            dist, seq, _steps = band_trace_batch(
+                a_pad, b_pad, m_arr, n_arr,
+                unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
+            )
+            out = np.asarray(dist).astype(np.int64)
+            seq_np = np.asarray(seq)
         out = np.where(feasible & (out <= max_ks), out, -1)
-        seq_np = np.asarray(seq)
+        from .ops.band_scan import decode_walked_batch
+
+        decoded = decode_walked_batch(seq_np, swaps)
         traces = [
-            decode_walked_traceback(seq_np[p], swaps[p]) if out[p] >= 0
-            else None
-            for p in range(B)
+            decoded[p] if out[p] >= 0 else None for p in range(B)
         ]
         return out, traces
 

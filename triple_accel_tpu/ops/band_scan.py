@@ -46,6 +46,7 @@ __all__ = [
     "INF",
     "band_scan_distance",
     "band_trace_batch",
+    "walk_packed_traceback",
     "decode_walked_traceback",
     "prepare_band_inputs",
     "decode_traceback",
@@ -259,6 +260,74 @@ def band_trace_batch(
     return dist, seq.T, steps
 
 
+@partial(
+    jax.jit,
+    static_argnames=("unit_k", "max_m", "P8"),
+)
+def walk_packed_traceback(
+    codes: jnp.ndarray,  # [max_m * P8, B] int32 packed 2-bit codes
+    a_t: jnp.ndarray,  # [max_m, B] int32 (pallas transposed layout)
+    b_t: jnp.ndarray,  # [max_m + W, B] int32
+    m: jnp.ndarray,  # [1, B] int32
+    n: jnp.ndarray,  # [1, B] int32
+    *,
+    unit_k: int,
+    max_m: int,
+    P8: int,
+):
+    """Vectorized traceback walk over the Pallas trace kernel's PACKED
+    code layout (ops/pallas/lev_band.band_trace_pallas): same walk as
+    band_trace_batch but the per-cell gather fetches an int32 word of 10
+    packed cells and unpacks 2 bits.  Returns (seq [B, steps] int8,
+    steps); decode with decode_walked_traceback."""
+    from .pallas.lev_band import PACK
+
+    W = 2 * unit_k + 1
+    B = codes.shape[1]
+    steps = 2 * max_m + unit_k + 1
+    p_arr = jnp.arange(B, dtype=jnp.int32)
+    codes_flat = codes.reshape(-1)
+    a_flat = a_t.reshape(-1)
+    b_flat = b_t.reshape(-1)
+    bw = max_m + W
+
+    def body(carry, _):
+        i, j = carry
+        active = (i > 0) | (j > 0)
+        at_top = i == 0
+        c = jnp.clip(j - i + unit_k, 0, W - 1)
+        word = codes_flat[
+            (jnp.maximum(i - 1, 0) * P8 + c // PACK) * B + p_arr
+        ]
+        code = (word >> (2 * (c % PACK))) & 3
+        code = jnp.where(at_top, 1, code)
+        a_ch = a_flat[jnp.maximum(i - 1, 0) * B + p_arr]
+        b_ch = b_flat[jnp.clip(unit_k + j - 1, 0, bw - 1) * B + p_arr]
+        out = jnp.where(
+            code == 0,
+            jnp.where(a_ch == b_ch, 0, 1),
+            code + 1,
+        ).astype(jnp.int8)
+        out = jnp.where(active, out, jnp.int8(-1))
+        di = jnp.where(
+            code == 0, 1, jnp.where(code == 2, 1, jnp.where(code == 3, 2, 0))
+        )
+        dj = jnp.where(
+            code == 0, 1, jnp.where(code == 1, 1, jnp.where(code == 3, 2, 0))
+        )
+        i = jnp.where(active, i - di, i)
+        j = jnp.where(active, j - dj, j)
+        return (i, j), out
+
+    (_, _), seq = lax.scan(
+        body,
+        (m.reshape(-1).astype(jnp.int32), n.reshape(-1).astype(jnp.int32)),
+        None,
+        length=steps,
+    )
+    return seq.T, steps
+
+
 _WALK_EDIT = [
     EditType.Match,
     EditType.Mismatch,
@@ -266,6 +335,43 @@ _WALK_EDIT = [
     None,  # consume-a: BGap unswapped / AGap swapped
     EditType.Transpose,
 ]
+
+
+def decode_walked_batch(
+    seq: np.ndarray,  # [B, steps] int8, reverse walk order, -1 padded
+    swaps: List[bool],
+) -> List[List[Edit]]:
+    """Batched RLE decode of device-walked edit streams: one numpy pass
+    finds every run boundary across the whole batch (a separator column
+    between rows prevents cross-pair runs), then Python touches only the
+    runs (~a handful per pair) instead of every step."""
+    B, steps = seq.shape
+    fwd = seq[:, ::-1]  # forward order, -1 padding now at the front
+    sep = np.full((B, 1), -3, dtype=fwd.dtype)
+    flat = np.ascontiguousarray(np.hstack([sep, fwd])).reshape(-1)
+    cuts = np.flatnonzero(np.diff(flat)) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [flat.size]))
+    codes = flat[starts]
+    width = steps + 1
+    out: List[List[Edit]] = [[] for _ in range(B)]
+    for s, e, c in zip(starts, ends, codes):
+        if c < 0:
+            continue
+        p = s // width
+        swap = swaps[p]
+        if c == 0:
+            et = EditType.Match
+        elif c == 1:
+            et = EditType.Mismatch
+        elif c == 2:
+            et = EditType.BGap if swap else EditType.AGap
+        elif c == 3:
+            et = EditType.AGap if swap else EditType.BGap
+        else:
+            et = EditType.Transpose
+        out[p].append(Edit(edit=et, count=int(e - s)))
+    return out
 
 
 def decode_walked_traceback(seq_row: np.ndarray, swap: bool) -> List[Edit]:

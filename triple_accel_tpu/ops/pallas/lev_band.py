@@ -58,11 +58,13 @@ from ..band_scan import INF
 __all__ = [
     "band_distance_pallas",
     "band_distance_pallas_tiled",
+    "band_trace_pallas",
     "prepare_pallas_inputs",
     "prepare_tiled_inputs",
     "select_band_dtype",
     "suggest_strip",
     "LANES",
+    "PACK",
 ]
 
 LANES = 128
@@ -544,3 +546,180 @@ def prepare_tiled_inputs(a_list, b_list, unit_k: int, strip: int):
             s * strip : s * strip + strip + W
         ]
     return a_strips, b_strips, m, n, c_fin, n_strips
+
+
+# ---------------------------------------------------------------------------
+# Traceback-emitting variant: argmin codes packed 10-per-lane (2 bits each)
+# ---------------------------------------------------------------------------
+
+PACK = 10  # band cells per packed int32 (2-bit codes; 4^10 < 2^24 = f32-exact)
+
+
+def _make_trace_kernel(unit_k: int, max_m: int, W: int,
+                       costs_t: Tuple[int, int, int, int, bool]):
+    """Untiled band kernel that additionally emits per-cell argmin codes
+    {0 sub, 1 consume-b, 2 consume-a, 3 transpose}, packed PACK cells per
+    int32 lane by one small MXU dot per row (weights 4^(c mod PACK), exact
+    in f32 below 2^24).  Codes land in [max_m * P8, LANES] blocks, P8 =
+    roundup(ceil(W/PACK), 8) rows per DP row (8-aligned stores).
+
+    The selection cascade mirrors ops/band_scan.py's exactly (sub default,
+    horizontal on <, vertical on <, transpose on <=) so the device walk
+    and host RLE decode are shared."""
+    mc, gc, sgc, tc, allow_transpose = costs_t
+    P = -(-W // PACK)
+    P8 = _round_up(P, 8)
+
+    def kernel(a_ref, b_ref, m_ref, n_ref, cfin_ref, out_ref, codes_ref):
+        c_iota = lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
+        n_row = n_ref[0:1, :]
+        m_row = m_ref[0:1, :]
+        cfin = cfin_ref[0:1, :]
+        inf = int(INF)
+
+        # packing weights: pw[p, c] = 4^(c - PACK*p) for c in p's group
+        pr = lax.broadcasted_iota(jnp.int32, (P8, W), 0)
+        pc = lax.broadcasted_iota(jnp.int32, (P8, W), 1)
+        grp = pc // PACK
+        pw = jnp.where(
+            grp == pr,
+            jnp.exp2(2.0 * (pc - grp * PACK).astype(jnp.float32)),
+            0.0,
+        )
+
+        j0 = c_iota - unit_k
+        dp1_init = jnp.minimum(
+            jnp.where(
+                (j0 >= 0) & (j0 <= n_row),
+                j0 * gc + jnp.where(j0 > 0, sgc, 0),
+                INF,
+            ),
+            inf,
+        ).astype(jnp.int32)
+        inf_tile = jnp.full((W, LANES), inf, jnp.int32)
+        res0 = jnp.where(m_row == 0, dp1_init, inf_tile)
+
+        def body(i, carry):
+            dp0, dp1, bgap, res = carry
+            a_char = a_ref[pl.ds(i - 1, 1), :]
+            bwin = b_ref[pl.ds(i - 1, W), :]
+
+            j = i + c_iota - unit_k
+            valid = (j >= 0) & (j <= n_row)
+
+            sub = dp1 + jnp.where(a_char == bwin, 0, mc)
+
+            dp1_up = _shift_up(dp1, c_iota, W, inf)
+            bgap_up = _shift_up(bgap, c_iota, W, inf)
+            bgap2 = jnp.minimum(
+                jnp.minimum(dp1_up + (sgc + gc), bgap_up + gc), inf
+            )
+
+            dprime = jnp.minimum(sub, bgap2)
+            if allow_transpose:
+                i2 = jnp.maximum(i - 2, 0)
+                bwin2 = b_ref[pl.ds(i2, W), :]
+                a_prev = a_ref[pl.ds(i2, 1), :]
+                tcond = (
+                    (i > 1) & (j > 1) & (a_char == bwin2) & (a_prev == bwin)
+                )
+                trans = jnp.where(tcond, dp0 + tc, inf)
+                dprime = jnp.minimum(dprime, trans)
+
+            dprime = jnp.where(valid, jnp.minimum(dprime, inf), inf)
+
+            g = dprime - c_iota * gc
+            mins = _cummin_sublanes(g, c_iota, W, inf)
+            mins_prev = jnp.where(
+                c_iota == 0, inf, pltpu.roll(mins, shift=1, axis=0)
+            )
+            e = jnp.minimum(sgc + c_iota * gc + mins_prev, inf)
+
+            # selection cascade with code emission (band_scan.py order)
+            dp2 = sub
+            code = jnp.zeros((W, LANES), jnp.int32)
+            take_e = e < dp2
+            dp2 = jnp.where(take_e, e, dp2)
+            code = jnp.where(take_e, 1, code)
+            take_b = bgap2 < dp2
+            dp2 = jnp.where(take_b, bgap2, dp2)
+            code = jnp.where(take_b, 2, code)
+            if allow_transpose:
+                take_t = tcond & (trans <= dp2)
+                dp2 = jnp.where(take_t, trans, dp2)
+                code = jnp.where(take_t, 3, code)
+            dp2 = jnp.where(valid, jnp.minimum(dp2, inf), inf)
+
+            packed = jnp.dot(
+                pw, code.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            codes_ref[pl.ds((i - 1) * P8, P8), :] = packed
+
+            res = jnp.where(i == m_row, dp2, res)
+            return (dp1, dp2, bgap2, res)
+
+        carry = (inf_tile, dp1_init, inf_tile, res0)
+        _, _, _, res = lax.fori_loop(1, max_m + 1, body, carry)
+        out_ref[0:1, :] = jnp.min(
+            jnp.where(c_iota == cfin, res, inf), axis=0, keepdims=True
+        )
+
+    return kernel, P8
+
+
+@partial(
+    jax.jit,
+    static_argnames=("unit_k", "max_m", "costs_t", "interpret"),
+)
+def band_trace_pallas(
+    a_t: jnp.ndarray,  # [max_m, B] int32 (prepare_pallas_inputs layout)
+    b_t: jnp.ndarray,  # [max_m + W, B] int32
+    m: jnp.ndarray,  # [1, B] int32
+    n: jnp.ndarray,  # [1, B] int32
+    c_fin: jnp.ndarray,  # [1, B] int32
+    *,
+    unit_k: int,
+    max_m: int,
+    costs_t: Tuple[int, int, int, int, bool],
+    interpret: bool = False,
+):
+    """Banded distance + packed traceback codes on the native kernel.
+
+    Returns (dist [1, B] int32, codes [max_m * P8, B] int32), with
+    P8 = roundup(ceil(W/PACK), 8) — the
+    batched analog of the reference's in-core SIMD traceback
+    (levenshtein.rs:1080-1089): codes stay in device memory for the
+    vectorized walk (walk_packed_traceback)."""
+    W = 2 * unit_k + 1
+    B = a_t.shape[1]
+    assert B % LANES == 0
+    kernel, P8 = _make_trace_kernel(unit_k, max_m, W, costs_t)
+    dist, codes = pl.pallas_call(
+        kernel,
+        grid=(B // LANES,),
+        in_specs=[
+            pl.BlockSpec((max_m, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max_m + W, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max_m * P8, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((max_m * P8, B), jnp.int32),
+        ),
+        interpret=interpret,
+    )(a_t, b_t, m, n, c_fin)
+    return dist, codes
