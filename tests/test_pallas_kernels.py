@@ -301,3 +301,50 @@ def test_bucketed_batch_identical():
         ref = levenshtein_naive_k_with_opts(a_list[i], b_list[i], 9, False)
         exp = -1 if ref is None else ref[0]
         assert out_b[i] == exp, i
+
+
+def test_batched_traceback_scan_path_matches_oracle():
+    # the scan trace path (band_trace_batch + shared device walk) is the
+    # default off-TPU / wide-band fallback — it needs its own differential
+    # coverage, not just the pallas trace variant's
+    import os
+
+    import numpy as np
+
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+    from triple_accel_tpu.oracle.levenshtein import (
+        levenshtein_naive_k_with_opts,
+    )
+    from triple_accel_tpu.types import (
+        EditCosts,
+        LEVENSHTEIN_COSTS,
+        RDAMERAU_COSTS,
+    )
+
+    rng = np.random.default_rng(23)
+    a_list, b_list = [], []
+    for _ in range(30):
+        la = int(rng.integers(0, 40))
+        lb = int(rng.integers(0, 40))
+        a_list.append(rng.integers(0, 5, la).astype(np.uint8))
+        b_list.append(rng.integers(0, 5, lb).astype(np.uint8))
+
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "scan"
+    try:
+        for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS,
+                      EditCosts(3, 2, 4, 2)):
+            for k in (0, 3, 100):
+                dists, traces = levenshtein_k_batch(
+                    a_list, b_list, k, costs, trace_on=True
+                )
+                for i in range(len(a_list)):
+                    ref = levenshtein_naive_k_with_opts(
+                        a_list[i], b_list[i], k, True, costs
+                    )
+                    if ref is None:
+                        assert dists[i] == -1 and traces[i] is None
+                    else:
+                        assert dists[i] == ref[0], (i, k, costs)
+                        assert traces[i] == ref[1], (i, k, costs)
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]

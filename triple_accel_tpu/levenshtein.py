@@ -478,9 +478,9 @@ def levenshtein_k_batch(
         # native trace path: the Pallas band kernel emits packed argmin
         # codes and the device walk runs over them — VMEM must hold the
         # [max_m * P8] packed-code block alongside the band state
-        from .ops.pallas.lev_band import PACK
+        from .ops.pallas.lev_band import packed_code_rows
 
-        P8 = -(-(-(-(2 * uk_dev + 1) // PACK)) // 8) * 8
+        P8 = packed_code_rows(2 * uk_dev + 1)
         trace_pallas = (
             use_pallas
             and (max_m * (P8 + 3) + 2 * uk_dev + 1) <= 16384
@@ -783,6 +783,26 @@ def _hit_resolve(
     return None
 
 
+def _correct_chunk0_nul_hits(needle, haystack, gpos, d_arr, halo, k, costs,
+                             span):
+    """Chunk 0's synthetic zero-pad front halo can deflate kernel
+    distances at gpos <= halo when the needle contains NUL bytes (see
+    ops/pallas/search_myers.chunk_raw): oracle-correct those few
+    positions before anything trusts d.  Returns filtered (gpos, d)."""
+    if gpos.size == 0 or 0 not in needle:
+        return gpos, d_arr
+    fix = np.flatnonzero(gpos <= halo)
+    keep = np.ones(gpos.size, dtype=bool)
+    for fi in fix:
+        resolved = _hit_resolve(needle, haystack, int(gpos[fi]), k, costs,
+                                span)
+        if resolved is None:
+            keep[fi] = False
+        else:
+            d_arr[fi] = resolved[0]
+    return gpos[keep], d_arr[keep]
+
+
 def _postprocess_sparse(
     cands: List[Tuple[int, int, int]],  # (end, dist, length), end-ascending
     k: int,
@@ -928,21 +948,9 @@ def levenshtein_search_simd_with_opts(
         span = min(
             window_span(m, k, costs.gap_cost, costs.start_gap_cost), n
         )
-        # chunk 0's synthetic zero-pad front halo can deflate kernel
-        # distances at gpos <= halo when the needle contains NUL bytes:
-        # oracle-correct those few positions before anything trusts d
-        if gpos.size and 0 in needle:
-            fix = np.flatnonzero(gpos <= halo)
-            keep = np.ones(gpos.size, dtype=bool)
-            for fi in fix:
-                resolved = _hit_resolve(
-                    needle, haystack, int(gpos[fi]), k, costs, span
-                )
-                if resolved is None:
-                    keep[fi] = False
-                else:
-                    d_arr[fi] = resolved[0]
-            gpos, d_arr = gpos[keep], d_arr[keep]
+        gpos, d_arr = _correct_chunk0_nul_hits(
+            needle, haystack, gpos, d_arr, halo, k, costs, span
+        )
 
         resolve_budget = max(512, (iter_len + 1) // 64)
         if search_type == SearchType.Best and gpos.size:
@@ -979,8 +987,12 @@ def levenshtein_search_simd_with_opts(
     chunk_target = min(4096, max(((max_seg - halo) // 128) * 128, 128))
     if effective_n <= chunk_target or anchored:
         own_len = round_up_pow2(max(effective_n, 1), 16)
-        if use_pallas and anchored and own_len + halo > max_seg:
-            use_pallas = False  # anchored runs as ONE segment; too big
+        if use_pallas and own_len + halo > max_seg:
+            if anchored:
+                use_pallas = False  # anchored runs as ONE segment; too big
+            else:
+                # pow2 rounding overshot the VMEM budget: chunk instead
+                own_len = chunk_target
     else:
         own_len = chunk_target
 
@@ -1197,19 +1209,9 @@ def levenshtein_search_many(
         for slot, i in enumerate(idxs):
             sel = ni_a == slot
             gpos, d_arr = gpos_a[sel], d_a[sel]
-            if gpos.size and 0 in needles[i]:
-                # chunk-0 NUL-pad correction (see the single-needle path)
-                fix = np.flatnonzero(gpos <= halo)
-                keep = np.ones(gpos.size, dtype=bool)
-                for fi in fix:
-                    resolved = _hit_resolve(
-                        needles[i], haystack, int(gpos[fi]), k, costs, span
-                    )
-                    if resolved is None:
-                        keep[fi] = False
-                    else:
-                        d_arr[fi] = resolved[0]
-                gpos, d_arr = gpos[keep], d_arr[keep]
+            gpos, d_arr = _correct_chunk0_nul_hits(
+                needles[i], haystack, gpos, d_arr, halo, k, costs, span
+            )
             if search_type == SearchType.Best and gpos.size:
                 at_min = d_arr == d_arr.min()
                 gpos, d_arr = gpos[at_min], d_arr[at_min]

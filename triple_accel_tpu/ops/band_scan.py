@@ -47,7 +47,7 @@ __all__ = [
     "band_scan_distance",
     "band_trace_batch",
     "walk_packed_traceback",
-    "decode_walked_traceback",
+    "decode_walked_batch",
     "prepare_band_inputs",
     "decode_traceback",
 ]
@@ -186,6 +186,46 @@ def band_scan_distance(
     return result, codes
 
 
+def _walk_scan(code_at, a_at, b_at, m0, n0, *, unit_k: int, max_m: int):
+    """Shared vectorized traceback walk (both code layouts route here so
+    the step tables — the correctness contract with decode_traceback —
+    exist exactly once).  `code_at(i, c) -> [B]` fetches the argmin code
+    of cell (row i, band lane c); `a_at(i)` / `b_at(j)` fetch chars.
+    Returns (seq [B, steps] int8 in REVERSE walk order: 0 Match,
+    1 Mismatch, 2 consume-b, 3 consume-a, 4 Transpose, -1 done; steps).
+    `steps = 2*max_m + unit_k + 1` bounds every walk since n <= m + unit_k.
+    """
+    W = 2 * unit_k + 1
+    steps = 2 * max_m + unit_k + 1
+
+    def body(carry, _):
+        i, j = carry
+        active = (i > 0) | (j > 0)
+        at_top = i == 0  # row-0 cells are implicit consume-b steps
+        c = jnp.clip(j - i + unit_k, 0, W - 1)
+        code = jnp.where(at_top, 1, code_at(i, c))
+        a_ch = a_at(i)
+        b_ch = b_at(j)
+        out = jnp.where(
+            code == 0,
+            jnp.where(a_ch == b_ch, 0, 1),
+            code + 1,  # 1->2 consume-b, 2->3 consume-a, 3->4 transpose
+        ).astype(jnp.int8)
+        out = jnp.where(active, out, jnp.int8(-1))
+        di = jnp.where(
+            code == 0, 1, jnp.where(code == 2, 1, jnp.where(code == 3, 2, 0))
+        )
+        dj = jnp.where(
+            code == 0, 1, jnp.where(code == 1, 1, jnp.where(code == 3, 2, 0))
+        )
+        i = jnp.where(active, i - di, i)
+        j = jnp.where(active, j - dj, j)
+        return (i, j), out
+
+    (_, _), seq = lax.scan(body, (m0, n0), None, length=steps)
+    return seq.T, steps
+
+
 @partial(
     jax.jit,
     static_argnames=("unit_k", "max_m", "costs_t"),
@@ -222,42 +262,20 @@ def band_trace_batch(
         a_pad, b_pad, m, n,
         unit_k=unit_k, max_m=max_m, costs_t=costs_t, trace_on=True,
     )
-    steps = 2 * max_m + unit_k + 1
     p_arr = jnp.arange(B, dtype=jnp.int32)
     codes_flat = codes.astype(jnp.int32).reshape(-1)  # [max_m * B * W]
     a_flat = a_pad.reshape(-1)
     b_flat = b_pad.reshape(-1)
     bw = max_m + W
 
-    def body(carry, _):
-        i, j = carry
-        active = (i > 0) | (j > 0)
-        at_top = i == 0  # row-0 cells are implicit consume-b steps
-        c = jnp.clip(j - i + unit_k, 0, W - 1)
-        idx = (jnp.maximum(i - 1, 0) * B + p_arr) * W + c
-        code = jnp.where(at_top, 1, codes_flat[idx])
-        a_ch = a_flat[p_arr * max_m + jnp.maximum(i - 1, 0)]
-        b_ch = b_flat[p_arr * bw + jnp.clip(unit_k + j - 1, 0, bw - 1)]
-        out = jnp.where(
-            code == 0,
-            jnp.where(a_ch == b_ch, 0, 1),
-            code + 1,  # 1->2 consume-b, 2->3 consume-a, 3->4 transpose
-        ).astype(jnp.int8)
-        out = jnp.where(active, out, jnp.int8(-1))
-        di = jnp.where(
-            code == 0, 1, jnp.where(code == 2, 1, jnp.where(code == 3, 2, 0))
-        )
-        dj = jnp.where(
-            code == 0, 1, jnp.where(code == 1, 1, jnp.where(code == 3, 2, 0))
-        )
-        i = jnp.where(active, i - di, i)
-        j = jnp.where(active, j - dj, j)
-        return (i, j), out
-
-    (_, _), seq = lax.scan(
-        body, (m.astype(jnp.int32), n.astype(jnp.int32)), None, length=steps
+    seq, steps = _walk_scan(
+        lambda i, c: codes_flat[(jnp.maximum(i - 1, 0) * B + p_arr) * W + c],
+        lambda i: a_flat[p_arr * max_m + jnp.maximum(i - 1, 0)],
+        lambda j: b_flat[p_arr * bw + jnp.clip(unit_k + j - 1, 0, bw - 1)],
+        m.astype(jnp.int32), n.astype(jnp.int32),
+        unit_k=unit_k, max_m=max_m,
     )
-    return dist, seq.T, steps
+    return dist, seq, steps
 
 
 @partial(
@@ -279,62 +297,30 @@ def walk_packed_traceback(
     code layout (ops/pallas/lev_band.band_trace_pallas): same walk as
     band_trace_batch but the per-cell gather fetches an int32 word of 10
     packed cells and unpacks 2 bits.  Returns (seq [B, steps] int8,
-    steps); decode with decode_walked_traceback."""
+    steps); decode with decode_walked_batch."""
     from .pallas.lev_band import PACK
 
     W = 2 * unit_k + 1
     B = codes.shape[1]
-    steps = 2 * max_m + unit_k + 1
     p_arr = jnp.arange(B, dtype=jnp.int32)
     codes_flat = codes.reshape(-1)
     a_flat = a_t.reshape(-1)
     b_flat = b_t.reshape(-1)
     bw = max_m + W
 
-    def body(carry, _):
-        i, j = carry
-        active = (i > 0) | (j > 0)
-        at_top = i == 0
-        c = jnp.clip(j - i + unit_k, 0, W - 1)
+    def code_at(i, c):
         word = codes_flat[
             (jnp.maximum(i - 1, 0) * P8 + c // PACK) * B + p_arr
         ]
-        code = (word >> (2 * (c % PACK))) & 3
-        code = jnp.where(at_top, 1, code)
-        a_ch = a_flat[jnp.maximum(i - 1, 0) * B + p_arr]
-        b_ch = b_flat[jnp.clip(unit_k + j - 1, 0, bw - 1) * B + p_arr]
-        out = jnp.where(
-            code == 0,
-            jnp.where(a_ch == b_ch, 0, 1),
-            code + 1,
-        ).astype(jnp.int8)
-        out = jnp.where(active, out, jnp.int8(-1))
-        di = jnp.where(
-            code == 0, 1, jnp.where(code == 2, 1, jnp.where(code == 3, 2, 0))
-        )
-        dj = jnp.where(
-            code == 0, 1, jnp.where(code == 1, 1, jnp.where(code == 3, 2, 0))
-        )
-        i = jnp.where(active, i - di, i)
-        j = jnp.where(active, j - dj, j)
-        return (i, j), out
+        return (word >> (2 * (c % PACK))) & 3
 
-    (_, _), seq = lax.scan(
-        body,
-        (m.reshape(-1).astype(jnp.int32), n.reshape(-1).astype(jnp.int32)),
-        None,
-        length=steps,
+    return _walk_scan(
+        code_at,
+        lambda i: a_flat[jnp.maximum(i - 1, 0) * B + p_arr],
+        lambda j: b_flat[jnp.clip(unit_k + j - 1, 0, bw - 1) * B + p_arr],
+        m.reshape(-1).astype(jnp.int32), n.reshape(-1).astype(jnp.int32),
+        unit_k=unit_k, max_m=max_m,
     )
-    return seq.T, steps
-
-
-_WALK_EDIT = [
-    EditType.Match,
-    EditType.Mismatch,
-    None,  # consume-b: AGap unswapped / BGap swapped
-    None,  # consume-a: BGap unswapped / AGap swapped
-    EditType.Transpose,
-]
 
 
 def decode_walked_batch(
@@ -372,30 +358,6 @@ def decode_walked_batch(
             et = EditType.Transpose
         out[p].append(Edit(edit=et, count=int(e - s)))
     return out
-
-
-def decode_walked_traceback(seq_row: np.ndarray, swap: bool) -> List[Edit]:
-    """RLE-decode one pair's device-walked edit stream (reverse order) into
-    the reference's forward Edit list.  Vectorized run-length pass."""
-    valid = seq_row >= 0
-    L = int(valid.sum())
-    if L == 0:
-        return []
-    s = seq_row[:L][::-1]  # forward order
-    consume_b = EditType.BGap if swap else EditType.AGap
-    consume_a = EditType.AGap if swap else EditType.BGap
-    # run boundaries
-    cut = np.flatnonzero(np.diff(s)) + 1
-    starts = np.concatenate(([0], cut))
-    ends = np.concatenate((cut, [L]))
-    res: List[Edit] = []
-    for st, en in zip(starts, ends):
-        code = int(s[st])
-        e = _WALK_EDIT[code]
-        if e is None:
-            e = consume_b if code == 2 else consume_a
-        res.append(Edit(edit=e, count=int(en - st)))
-    return res
 
 
 def prepare_band_inputs(

@@ -65,6 +65,7 @@ __all__ = [
     "suggest_strip",
     "LANES",
     "PACK",
+    "packed_code_rows",
 ]
 
 LANES = 128
@@ -555,6 +556,13 @@ def prepare_tiled_inputs(a_list, b_list, unit_k: int, strip: int):
 PACK = 10  # band cells per packed int32 (2-bit codes; 4^10 < 2^24 = f32-exact)
 
 
+def packed_code_rows(W: int) -> int:
+    """Rows of packed codes per DP row: ceil(W/PACK) rounded to 8 for
+    aligned stores.  The ONE place this is computed — the trace kernel and
+    walk_packed_traceback's callers must agree on it."""
+    return _round_up(-(-W // PACK), 8)
+
+
 def _make_trace_kernel(unit_k: int, max_m: int, W: int,
                        costs_t: Tuple[int, int, int, int, bool]):
     """Untiled band kernel that additionally emits per-cell argmin codes
@@ -567,8 +575,7 @@ def _make_trace_kernel(unit_k: int, max_m: int, W: int,
     horizontal on <, vertical on <, transpose on <=) so the device walk
     and host RLE decode are shared."""
     mc, gc, sgc, tc, allow_transpose = costs_t
-    P = -(-W // PACK)
-    P8 = _round_up(P, 8)
+    P8 = packed_code_rows(W)
 
     def kernel(a_ref, b_ref, m_ref, n_ref, cfin_ref, out_ref, codes_ref):
         c_iota = lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
