@@ -101,6 +101,52 @@ for trial in range(8):
     if got != exp:
         bad += 1; print(f"TRACE t{trial}: {got} vs {exp}")
 print("trace fuzz done")
+
+# 6. round-2 paths: batched traceback, long needles, long strings
+bd_a, bd_b = [], []
+for _ in range(48):
+    ln = int(rng.integers(0, 120))
+    a = rng.integers(65, 70, ln).astype(np.uint8)
+    b = list(a)
+    for _ in range(int(rng.integers(0, 8))):
+        op = rng.integers(0, 3)
+        if op == 0 and b: b[rng.integers(0, len(b))] = rng.integers(65, 70)
+        elif op == 1: b.insert(int(rng.integers(0, len(b)+1)), int(rng.integers(65, 70)))
+        elif op == 2 and b: del b[rng.integers(0, len(b))]
+    bd_a.append(a); bd_b.append(np.array(b, np.uint8))
+for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS):
+    dists, traces = levenshtein_k_batch(bd_a, bd_b, 20, costs, trace_on=True)
+    for i in range(len(bd_a)):
+        ref = levenshtein_naive_k_with_opts(bd_a[i], bd_b[i], 20, True, costs)
+        exp_d = -1 if ref is None else ref[0]
+        exp_t = None if ref is None else ref[1]
+        if int(dists[i]) != exp_d or traces[i] != exp_t:
+            bad += 1; print(f"BTRACE i{i}: {dists[i]}/{traces[i]} vs {exp_d}/{exp_t}")
+print("batched trace fuzz done")
+
+m = 300  # multi-vreg Myers needle
+needle = rng.integers(65, 75, m).astype(np.uint8)
+hay = rng.integers(65, 75, 3000).astype(np.uint8)
+mut = needle.copy(); mut[rng.integers(0, m, 4)] = 65
+hay[1000:1000+m] = mut
+got = levenshtein_search_simd_with_opts(needle, hay, 6, SearchType.All)
+exp = levenshtein_search_naive_with_opts(needle, hay, 6, SearchType.All,
+                                         LEVENSHTEIN_COSTS, False)
+if got != exp:
+    bad += 1; print(f"LONGNEEDLE: {got[:3]} vs {exp[:3]}")
+print("long-needle fuzz done")
+
+from triple_accel_tpu.utils.native import myers_distance_batch_native
+la, lb = [], []
+for _ in range(8):
+    a = rng.integers(65, 91, 15000).astype(np.uint8)
+    b = a.copy(); b[rng.permutation(15000)[:10]] = 65
+    la.append(a); lb.append(b)
+got = levenshtein_k_batch(la, lb, 32)
+ref = myers_distance_batch_native(la, lb, 32)
+if ref is not None and any(int(got[i]) != int(ref[i]) for i in range(8)):
+    bad += 1; print(f"LONGSTR: {list(got)} vs {list(ref)}")
+print("long-string fuzz done")
 print(f"FUZZ TOTAL: {bad} mismatches")
 
 sys.exit(1 if bad else 0)
