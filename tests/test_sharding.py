@@ -106,3 +106,13 @@ def test_sharded_search_matches_oracle(costs, n_total):
             needle, haystack, k, st, costs, False
         )
         assert got == ref, f"{st} {costs}"
+
+
+def test_assert_mesh_consistent_single_process():
+    # single process: a no-op that accepts any mesh
+    import jax
+
+    from triple_accel_tpu.parallel import assert_mesh_consistent, make_mesh
+
+    assert_mesh_consistent(make_mesh(jax.devices()[:2]))
+    assert_mesh_consistent(make_mesh(jax.devices()))

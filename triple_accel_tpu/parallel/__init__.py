@@ -7,7 +7,12 @@ components are new, first-class in the TPU framework, built on
 XLA's runtime rides ICI within a slice and DCN across slices).
 """
 
-from .mesh import DATA_AXIS, batch_sharding, make_mesh
+from .mesh import (
+    DATA_AXIS,
+    assert_mesh_consistent,
+    batch_sharding,
+    make_mesh,
+)
 from .sharded import (
     assemble_sharded_search,
     match_count_psum,
@@ -17,6 +22,7 @@ from .sharded import (
 
 __all__ = [
     "DATA_AXIS",
+    "assert_mesh_consistent",
     "batch_sharding",
     "make_mesh",
     "assemble_sharded_search",

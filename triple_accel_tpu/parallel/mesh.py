@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["make_mesh", "batch_sharding", "DATA_AXIS"]
+__all__ = ["make_mesh", "batch_sharding", "assert_mesh_consistent", "DATA_AXIS"]
 
 DATA_AXIS = "data"
 
@@ -35,3 +35,35 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch/chunk) dimension across the mesh."""
     return NamedSharding(mesh, PartitionSpec(axis_name))
+
+
+def assert_mesh_consistent(mesh: Mesh) -> None:
+    """Fail fast on multi-host mesh mismatch (SURVEY.md §5 failure
+    detection): every process must agree on the mesh's shape and axis
+    names before any collective runs, otherwise psum/ppermute deadlock or
+    silently mis-reduce.  All processes allgather their (shape, axes)
+    signature and compare; single-process jobs are a no-op."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    sig = np.array(
+        [jax.process_index(), len(mesh.devices.flat), *mesh.devices.shape],
+        dtype=np.int64,
+    )
+    all_sigs = np.asarray(multihost_utils.process_allgather(sig))
+    base = all_sigs[0, 1:]
+    for row in all_sigs:
+        if not np.array_equal(row[1:], base):
+            raise RuntimeError(
+                f"mesh mismatch across processes: process {int(row[0])} "
+                f"sees {row[1:].tolist()}, process "
+                f"{int(all_sigs[0, 0])} sees {base.tolist()}"
+            )
+    names = ",".join(mesh.axis_names)
+    sig2 = np.frombuffer(names.encode().ljust(64), dtype=np.uint8).copy()
+    all_names = np.asarray(multihost_utils.process_allgather(sig2))
+    if not (all_names == all_names[0]).all():
+        raise RuntimeError("mesh axis names differ across processes")
