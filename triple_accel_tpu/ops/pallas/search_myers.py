@@ -97,8 +97,8 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
     wS, offS = (m - 1) // WORD, (m - 1) % WORD
     mtop = m - WORD * (NW - 1)
     # block rows must be 8-divisible for multi-needle (per-needle-block)
-    # output indexing; rows in [seg_len+1, OUT) carry pad garbage and the
-    # caller slices them off
+    # output indexing; rows in [seg_len+1, OUT) are filled with a +inf
+    # sentinel after the loop so raw-layout callers never see garbage
     OUT = _round_up(seg_len + 1, 8)
     assert width >= OUT - 1, (width, OUT)
 
