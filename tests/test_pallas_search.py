@@ -167,3 +167,35 @@ def test_dense_best_exact_tie_positions():
             b"needle", hay, 3, SearchType.Best, LEVENSHTEIN_COSTS, False
         )
     assert got == ref and len(got) == 3
+
+
+def test_rdamerau_myers_search():
+    # RDAMERAU_COSTS routes to the bit-parallel Myers kernel with the
+    # transposition-seed term; transposition-dense inputs vs the oracle
+    rng = np.random.default_rng(41)
+    for trial in range(8):
+        m = int(rng.integers(2, 30))
+        n = int(rng.integers(0, 400))
+        needle = rng.integers(0, 4, m).astype(np.uint8)
+        hay = rng.integers(0, 4, n).astype(np.uint8)
+        k = int(rng.integers(0, m // 2 + 2))
+        for st in (SearchType.All, SearchType.Best):
+            ref = levenshtein_search_naive_with_opts(
+                needle, hay, k, st, RDAMERAU_COSTS, False
+            )
+            with _forced("pallas"):
+                got = levenshtein_search_simd_with_opts(
+                    needle, hay, k, st, RDAMERAU_COSTS, False
+                )
+            assert got == ref, (trial, m, n, k, st)
+    # explicit adjacent-swap cases
+    for needle, hay in [(b"abcdef", b"xx abcedf yy bacdef"),
+                        (b"ab", b"ba"), (b"abab", b"baba")]:
+        ref = levenshtein_search_naive_with_opts(
+            needle, hay, 2, SearchType.All, RDAMERAU_COSTS, False
+        )
+        with _forced("pallas"):
+            got = levenshtein_search_simd_with_opts(
+                needle, hay, 2, SearchType.All, RDAMERAU_COSTS, False
+            )
+        assert got == ref, needle

@@ -869,18 +869,20 @@ def levenshtein_search_simd_with_opts(
                                                costs.start_gap_cost), n)
     use_pallas = _use_pallas()
 
-    # unit-cost, unanchored fast path: bit-parallel Myers search kernel for
-    # the distances; lengths recovered per hit from the oracle.  Dense hit
-    # streams (low-complexity text) fall through to the general engine,
-    # whose DP tracks lengths inline.
+    # unit-cost / rdamerau unanchored fast path: bit-parallel Myers search
+    # kernel for the distances (the restricted-Damerau preset adds the
+    # transposition seed term in-kernel); lengths recovered per hit from
+    # the oracle.  Dense hit streams (low-complexity text) fall through to
+    # the general engine, whose DP tracks lengths inline.
     from .ops.pallas.search_myers import myers_search_plan
 
     msplan = myers_search_plan(m)
+    damerau = _costs_tuple(costs) == (1, 1, 0, 1, True)
     if (
         use_pallas
         and forced_path() != "pallas_band"
         and not anchored
-        and _costs_tuple(costs) == (1, 1, 0, 0, False)
+        and (_costs_tuple(costs) == (1, 1, 0, 0, False) or damerau)
         and msplan is not None
         and iter_len > 0
     ):
@@ -898,7 +900,7 @@ def levenshtein_search_simd_with_opts(
         nchar, seg_t, _decode = prepare_myers_search_inputs(needle, segs)
         width = seg_t.shape[0] // msplan[2]
         DispatchDecision(
-            path="myers_search",
+            path="myers_search_rdamerau" if damerau else "myers_search",
             cost_bucket="u8",
             unit_k=halo,
             max_k=k,
@@ -921,6 +923,7 @@ def levenshtein_search_simd_with_opts(
             seg_len=seg_len,
             anchored=False,
             interpret=jax.default_backend() != "tpu",
+            damerau=damerau,
         )
         # two-phase fetch: tiny block minima first, then only the row-blocks
         # that can contain hits (full distance arrays are 4 bytes per
@@ -1113,8 +1116,8 @@ def levenshtein_search_many(
     """Dictionary search: every needle against one haystack, unanchored.
 
     Beyond the reference's scope (it searches one needle at a time): for
-    unit costs, same-length needles share ONE kernel launch over a
-    (needles x segment-blocks) grid — the haystack is uploaded and held on
+    unit and rdamerau costs, same-length needles share ONE kernel launch
+    over a (needles x segment-blocks) grid — the haystack is uploaded and held on
     the device once, and each needle's wavefront sweeps it in parallel
     lanes.  Other cost models (and oversized needles) fall back to
     per-needle dispatch.  Returns one Match list per needle, each
@@ -1140,10 +1143,11 @@ def levenshtein_search_many(
     costs.check_search()
     results: List[Optional[List[Match]]] = [None] * len(needles)
 
+    damerau = _costs_tuple(costs) == (1, 1, 0, 1, True)
     use_batched = (
         _use_pallas()
         and forced_path() != "pallas_band"
-        and _costs_tuple(costs) == (1, 1, 0, 0, False)
+        and (_costs_tuple(costs) == (1, 1, 0, 0, False) or damerau)
     )
 
     # group same-length needles into shared launches
@@ -1186,6 +1190,7 @@ def levenshtein_search_many(
             anchored=False,
             num_needles=NUM,
             interpret=jax.default_backend() != "tpu",
+            damerau=damerau,
         )
         # raw padded kernel layout (pad rows hold a 2^30 sentinel)
         OUT = -(-(seg_len + 1) // 8) * 8

@@ -7,9 +7,11 @@ needles) up to 8 segment-blocks packed per 8-sublane vector register, so
 one VPU instruction advances up to 1024 haystack positions.
 
 This is the distance half of `levenshtein_search*` for LEVENSHTEIN_COSTS
-(reference levenshtein.rs:1911-2155 is the general-cost engine this
-replaces on the hot path; the reference itself does not use
-bit-parallelism).  It emits the end-position distance array D[m][j]; the
+and RDAMERAU_COSTS — the restricted-Damerau preset adds a transposition
+seed term to the carry chain (`damerau=True`; derivation in the step
+docstring, validated cell-exact against the oracle).  Reference
+levenshtein.rs:1911-2155 is the general-cost engine this replaces on the
+hot path; the reference itself does not use bit-parallelism.  It emits the end-position distance array D[m][j]; the
 reference's maximize-length tie-break (jewel.rs:364-417) is recovered
 afterwards only at the sparse positions where D <= k, by replaying the
 scalar oracle on a needle-sized window (see levenshtein.py) — exact
@@ -89,7 +91,7 @@ UNROLL = 4  # haystack chars per loop iteration (MXU/VPU overlap)
 
 
 def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
-                 tiled_stores: bool = True):
+                 tiled_stores: bool = True, damerau: bool = False):
     m = needle_len
     NW, SG, G, WIN = myers_search_plan(m)
     TR = SG * G  # state-tile rows: 8 (subgroup-packed) or roundup(NW, 8)
@@ -176,16 +178,36 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
             return Eq_f.astype(jnp.int32) & maskw
 
         def step(t, state, Eq):
-            Pv, Mv, S = state
-            Xv = Eq | Mv
-            Xh = (add_words(Eq & Pv, Pv) ^ Pv) | Eq
+            # restricted-Damerau extension (RDAMERAU_COSTS): a transposition
+            # at (i, t) is a diagonal-zero SEED exactly when p[i]=txt[t-1],
+            # p[i-1]=txt[t], and the previous column's diagonal delta at
+            # row i-1 was +1 (NOT D0_prev) — then D[i][t] <= D[i-2][t-2]+1
+            # = D[i-1][t-1].  Seeds join the standard carry chain and the
+            # VP/VN update switches to the full-D0 form (cell-exact vs the
+            # oracle; fresh per-segment state stays exact because every TR
+            # option in the window DP is a real alignment, so the halo
+            # containment argument is unchanged).
+            if damerau:
+                Pv, Mv, S, EqP, D0P = state
+                tr = EqP & shl1(Eq, 0) & shl1(bnot(D0P), 0)
+                seeds = Eq | tr
+            else:
+                Pv, Mv, S = state
+                seeds = Eq
+            Xh = (add_words(seeds & Pv, Pv) ^ Pv) | seeds
             Ph = Mv | bnot(Xh | Pv)
             Mh = Pv & Xh
             S = S + ((Ph >> offS) & 1) - ((Mh >> offS) & 1)
             PhS = shl1(Ph, 1 if anchored else 0)
             MhS = shl1(Mh, 0)
-            Pv = MhS | bnot(Xv | PhS)
-            Mv = PhS & Xv
+            if damerau:
+                D0 = Xh | Mv  # Mv still holds the previous column's VN
+                Pv = MhS | bnot(D0 | PhS)
+                Mv = PhS & D0
+            else:
+                Xv = Eq | Mv
+                Pv = MhS | bnot(Xv | PhS)
+                Mv = PhS & Xv
             if not tiled_stores:
                 # per-char (1,128) stores: the interpret-mode form (each
                 # op costs python time there, so fewer ops wins).  The
@@ -198,9 +220,12 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
                         out_ref[pl.ds(u * OUT + t, 1), :] = S[
                             u * SG + wS : u * SG + wS + 1, :
                         ]
+            if damerau:
+                return (Pv, Mv, S, Eq, D0)
             return (Pv, Mv, S)
 
         s0 = jnp.full((TR, LANES), m, jnp.int32)
+        state0 = (maskw, zero, s0, zero, zero) if damerau else (maskw, zero, s0)
         if tiled_stores:
             # compiled form: accumulate 8 chars' scores into G [8,128]
             # register tiles (static roll+select), one aligned store per
@@ -220,7 +245,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
                 return state
 
             # tile 0: row 0 = D[m][0] = m (whole needle deleted)
-            state = tile(0, (maskw, zero, s0), [s0 for _ in range(G)], 1)
+            state = tile(0, state0, [s0 for _ in range(G)], 1)
 
             def body(tb, state):
                 return tile(8 * tb, state, [zero for _ in range(G)], 0)
@@ -243,7 +268,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
                 return state
 
             SL = _round_up(seg_len, UNROLL)
-            lax.fori_loop(1, SL // UNROLL + 1, body, (maskw, zero, s0))
+            lax.fori_loop(1, SL // UNROLL + 1, body, state0)
 
         # rows past seg_len are pad garbage: overwrite with a +inf sentinel
         # so callers can min/filter the RAW padded layout without slicing
@@ -263,7 +288,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
     jax.jit,
     static_argnames=(
         "needle_len", "width", "seg_len", "anchored", "num_needles",
-        "interpret", "raw",
+        "interpret", "raw", "damerau",
     ),
 )
 def myers_search_pallas(
@@ -278,6 +303,7 @@ def myers_search_pallas(
     num_needles: int = 1,
     interpret: bool = False,
     raw: bool = False,
+    damerau: bool = False,
 ):
     """Per-end-position search distances D[needle_len][j], j in [0, seg_len],
     for every (needle, segment) pair.  Returns
@@ -301,7 +327,8 @@ def myers_search_pallas(
     # under the python interpreter
     kernel, NW, SG, G, WIN = _make_kernel(needle_len, width, seg_len,
                                           anchored,
-                                          tiled_stores=not interpret)
+                                          tiled_stores=not interpret,
+                                          damerau=damerau)
     WINP = _round_up(WIN, 8)
     BG = seg_t.shape[1]
     assert BG % LANES == 0 and seg_t.shape[0] == G * width
@@ -362,7 +389,8 @@ BLOCK = 512  # rows per candidate block in the two-phase hit fetch
 
 
 @partial(jax.jit, static_argnames=("needle_len", "width", "seg_len",
-                                   "anchored", "num_needles", "interpret"))
+                                   "anchored", "num_needles", "interpret",
+                                   "damerau"))
 def myers_search_block_mins(
     nchar: jnp.ndarray,
     seg_t: jnp.ndarray,
@@ -373,6 +401,7 @@ def myers_search_block_mins(
     anchored: bool = False,
     num_needles: int = 1,
     interpret: bool = False,
+    damerau: bool = False,
 ):
     """Phase 1 of the two-phase hit fetch: run the search kernel, leave the
     distance tiles in device memory, return (dist, per-BLOCK column minima).
@@ -388,7 +417,7 @@ def myers_search_block_mins(
     dist = myers_search_pallas(
         nchar, seg_t, needle_len=needle_len, width=width,
         seg_len=seg_len, anchored=anchored, num_needles=num_needles,
-        interpret=interpret, raw=True,
+        interpret=interpret, raw=True, damerau=damerau,
     )
     R = dist.shape[0]
     pad = (-R) % BLOCK
