@@ -395,32 +395,42 @@ def levenshtein_k_batch(
         out0 = np.empty(0, dtype=np.int64)
         return (out0, []) if trace_on else out0
 
-    swapped_a: List[np.ndarray] = []
-    swapped_b: List[np.ndarray] = []
-    swaps: List[bool] = []
-    max_ks = np.zeros(B, dtype=np.int64)
-    uks = np.zeros(B, dtype=np.int64)
-    feasible = np.ones(B, dtype=bool)
-    unit_k = 0
+    # vectorized per-pair dispatch math (compute_max_k / compute_unit_k
+    # element-for-element; the python loop cost ~40us/pair and dominated
+    # large-batch e2e time)
+    la = np.fromiter((len(x) for x in a_list), np.int64, B)
+    lb = np.fromiter((len(x) for x in b_list), np.int64, B)
+    swaps_arr = la > lb
+    m_len = np.where(swaps_arr, lb, la)
+    n_len = np.where(swaps_arr, la, lb)
+    mc_, gc_, sgc_ = costs.mismatch_cost, costs.gap_cost, costs.start_gap_cost
+    cap2 = (m_len << 1) * gc_ + np.where(
+        m_len == 0, 0, sgc_ + np.where(n_len == m_len, sgc_, 0)
+    )
+    max_ks = np.minimum(m_len * mc_, cap2)
+    max_ks = np.minimum(
+        k, max_ks + (n_len - m_len) * gc_ + np.where(n_len == m_len, 0, sgc_)
+    )
+    uks = np.minimum(np.maximum(max_ks - sgc_, 0) // gc_, n_len)
+    feasible = (n_len - m_len) <= uks
+    uks = np.where(feasible, uks, 0)
+    unit_k = int(uks.max(initial=0))
+    swaps: List[bool] = swaps_arr.tolist()
+    # infeasible pairs (length gap exceeds the band) are replaced with
+    # empty pairs so they neither widen the batch's band/max_m nor
+    # overflow the band buffer; masked to -1 at the end anyway
     _empty = np.empty(0, dtype=np.uint8)
-    for p in range(B):
-        a, b = a_list[p], b_list[p]
-        swaps.append(len(a) > len(b))
-        if len(a) > len(b):
-            a, b = b, a
-        mk = compute_max_k(len(a), len(b), k, costs)
-        uk = min(compute_unit_k(mk, costs), len(b))
-        max_ks[p] = mk
-        if len(b) - len(a) > uk:
-            # infeasible (length gap exceeds the band): replace with an
-            # empty pair so it neither widens the batch's band/max_m nor
-            # overflows the band buffer; masked to -1 at the end anyway
-            feasible[p] = False
-            a = b = _empty
-        swapped_a.append(a)
-        swapped_b.append(b)
-        uks[p] = uk if feasible[p] else 0
-        unit_k = max(unit_k, int(uks[p]))
+    feas_list = feasible.tolist()
+    swapped_a = [
+        (_empty if not feas_list[p]
+         else (b_list[p] if swaps[p] else a_list[p]))
+        for p in range(B)
+    ]
+    swapped_b = [
+        (_empty if not feas_list[p]
+         else (a_list[p] if swaps[p] else b_list[p]))
+        for p in range(B)
+    ]
 
     # --- per-bucket dispatch (the batched analog of the reference's
     # per-call Jewel-width dispatch, levenshtein.rs:766-823): one long or
@@ -429,13 +439,13 @@ def levenshtein_k_batch(
     # groups smaller than _MIN_BUCKET merge upward into the next key so
     # per-launch dispatch overhead stays amortized.
     if B > _MIN_BUCKET:
-        key_of = [
-            (
-                round_up_pow2(max(len(swapped_a[p]), 1), 8),
-                round_up_pow2(int(uks[p]), 4),
-            )
-            for p in range(B)
-        ]
+        def _rup2(v, minimum):
+            vv = np.maximum(v, minimum)
+            return (1 << np.ceil(np.log2(vv)).astype(np.int64))
+
+        mq = _rup2(np.where(feasible, np.maximum(m_len, 1), 1), 8)
+        ukq = _rup2(uks, 4)
+        key_of = list(zip(mq.tolist(), ukq.tolist()))
         groups: dict = {}
         for p in range(B):
             groups.setdefault(key_of[p], []).append(p)

@@ -270,6 +270,7 @@ def _make_kernel(k: int, max_m: int):
     jax.jit,
     static_argnames=("k", "max_m", "interpret"),
 )
+@partial(jax.jit, static_argnames=("k", "max_m", "interpret"))
 def myers_distance_pallas(
     a_t: jnp.ndarray,  # [G*max_m, B/G] int32 (see prepare_myers_inputs)
     b_t: jnp.ndarray,  # [G*(max_m+WIN), B/G] int32
@@ -291,6 +292,10 @@ def myers_distance_pallas(
     BG = a_t.shape[1]
     assert BG % LANES == 0
     grid = (BG // LANES,)
+    # strings may arrive as int16 (half the host->device transfer, the
+    # e2e bottleneck for big batches); widen on device for Mosaic
+    a_t = a_t.astype(jnp.int32)
+    b_t = b_t.astype(jnp.int32)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -331,8 +336,15 @@ def prepare_myers_inputs(a_list, b_list, k: int, max_m: int, ks=None):
     # columns per group row; at least two 128-lane grid blocks — this
     # Mosaic runtime faults the TPU worker on single-step grids
     BG = max(_round_up(max(-(-B // G), 1), LANES), 2 * LANES)
-    a_t = np.full((G * max_m, BG), -1, dtype=np.int32)
-    b_t = np.full((G * (max_m + WIN), BG), -2, dtype=np.int32)
+    # fill CONTIGUOUS per-pair rows, then transpose once: per-pair strided
+    # column writes into the [rows, BG] layout cost ~40us/pair and
+    # dominated large-batch end-to-end time
+    MB = max_m + WIN
+    # int16 halves the host->device transfer (the e2e bottleneck for big
+    # batches) while keeping the -1/-2 pad sentinels distinct from every
+    # real char; the kernel wrapper widens to int32 on device
+    a_rows = np.full((G, BG, max_m), -1, dtype=np.int16)
+    b_rows = np.full((G, BG, MB), -2, dtype=np.int16)
     m = np.zeros((8, BG), dtype=np.int32)
     dlen = np.zeros((8, BG), dtype=np.int32)
     ukl = np.zeros((8, BG), dtype=np.int32)
@@ -344,13 +356,18 @@ def prepare_myers_inputs(a_list, b_list, k: int, max_m: int, ks=None):
         delta = len(b) - len(a)
         assert 0 <= delta <= kp <= k and len(a) <= max_m
         uL = (kp - delta) // 2
-        a_t[u * max_m : u * max_m + len(a), col] = a
-        boff = u * (max_m + WIN) + uL
-        b_t[boff : boff + len(b), col] = b
+        a_rows[u, col, : len(a)] = a
+        b_rows[u, col, uL : uL + len(b)] = b
         rows = slice(u * SG, u * SG + SG)
         m[rows, col] = len(a)
         dlen[rows, col] = delta
         ukl[rows, col] = uL
+    a_t = np.ascontiguousarray(
+        a_rows.transpose(0, 2, 1).reshape(G * max_m, BG)
+    )
+    b_t = np.ascontiguousarray(
+        b_rows.transpose(0, 2, 1).reshape(G * MB, BG)
+    )
 
     def decode(dist):
         # dist [G, BG] -> [B] in pair order
