@@ -261,6 +261,9 @@ def band_distance_pallas(
             slack = max(mc, sgc + gc, tc, gc, sgc + (W - 1) * gc)
             inf = int(jnp.iinfo(dtype).max) - slack
 
+    # strings may arrive as int16 (half the transfer); widen on device
+    a_t = a_t.astype(jnp.int32)
+    b_t = b_t.astype(jnp.int32)
     kernel = _make_kernel(unit_k, max_m, W, costs_t, dtype, inf)
     out = pl.pallas_call(
         kernel,
@@ -287,23 +290,29 @@ def band_distance_pallas(
 
 def prepare_pallas_inputs(a_list, b_list, unit_k: int, max_m: int):
     """Pad a batch (len(a) <= len(b) per pair) into the transposed buffers
-    band_distance_pallas expects; pads the batch to a multiple of 128."""
+    band_distance_pallas expects; pads the batch to a multiple of 128.
+
+    Buffers are int16 (half the host->device transfer, with the -1/-2 pad
+    sentinels intact); the jitted kernel wrappers widen on device.  Rows
+    fill contiguously per pair and transpose once — per-pair strided
+    column writes dominated large-batch prep time."""
     W = 2 * unit_k + 1
     # at least two 128-lane grid blocks — this Mosaic runtime faults the
     # TPU worker on single-step grids
     B = max(_round_up(max(len(a_list), 1), LANES), 2 * LANES)
-    a_t = np.full((max_m, B), -1, dtype=np.int32)
-    b_t = np.full((max_m + W, B), -2, dtype=np.int32)
+    a_rows = np.full((B, max_m), -1, dtype=np.int16)
+    b_rows = np.full((B, max_m + W), -2, dtype=np.int16)
     m = np.zeros((1, B), dtype=np.int32)
     n = np.zeros((1, B), dtype=np.int32)
     c_fin = np.zeros((1, B), dtype=np.int32)
     for p, (a, b) in enumerate(zip(a_list, b_list)):
-        a_t[: len(a), p] = a
-        b_t[unit_k : unit_k + len(b), p] = b
+        a_rows[p, : len(a)] = a
+        b_rows[p, unit_k : unit_k + len(b)] = b
         m[0, p] = len(a)
         n[0, p] = len(b)
         c_fin[0, p] = min(max(len(b) - len(a) + unit_k, 0), W - 1)
-    return a_t, b_t, m, n, c_fin
+    return (np.ascontiguousarray(a_rows.T), np.ascontiguousarray(b_rows.T),
+            m, n, c_fin)
 
 
 # ---------------------------------------------------------------------------
@@ -701,6 +710,8 @@ def band_trace_pallas(
     W = 2 * unit_k + 1
     B = a_t.shape[1]
     assert B % LANES == 0
+    a_t = a_t.astype(jnp.int32)  # int16 arrivals widen on device
+    b_t = b_t.astype(jnp.int32)
     kernel, P8 = _make_trace_kernel(unit_k, max_m, W, costs_t)
     dist, codes = pl.pallas_call(
         kernel,
