@@ -38,7 +38,7 @@ def main():
     STR_LEN = 1000
     K = 32
     MAX_M = 1024
-    B = int(os.environ.get("BENCH_BATCH", "49152"))
+    B = int(os.environ.get("BENCH_BATCH", "98304"))
     on_tpu = jax.default_backend() == "tpu"
 
     rng = np.random.default_rng(1234)

@@ -41,7 +41,7 @@ def _setup():
     jax.config.update("jax_num_cpu_devices", 8)
 
 
-def _best_of(fn, n=5):
+def _best_of(fn, n=7):
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
