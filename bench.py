@@ -157,18 +157,54 @@ def main():
         )
 
     # multi-device scaling numbers (bench_scaling.py on the virtual CPU
-    # mesh, in a subprocess so the TPU backend here stays untouched)
+    # mesh, in a subprocess so the TPU backend here stays untouched).
+    # The sub-bench adds minutes and host-load variance, so its result is
+    # cached per source tree state (git HEAD + dirty flag): repeat runs of
+    # the headline bench reuse the cached measurement instead of re-paying
+    # it.  BENCH_SKIP_SCALING=1 skips entirely; BENCH_FRESH_SCALING=1
+    # forces a re-measure.
     if os.environ.get("BENCH_SKIP_SCALING", "") in ("", "0"):
         import subprocess
 
+        here = os.path.dirname(os.path.abspath(__file__))
+        cache_path = os.path.join(here, ".scaling_cache.json")
         try:
-            proc = subprocess.run(
-                [sys.executable,
-                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "bench_scaling.py")],
-                capture_output=True, text=True, timeout=900,
-            )
-            scaling = json.loads(proc.stdout.strip().splitlines()[-1])
+            head = subprocess.run(
+                ["git", "-C", here, "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=30,
+            ).stdout.strip()
+            dirty = bool(subprocess.run(
+                ["git", "-C", here, "status", "--porcelain"],
+                capture_output=True, text=True, timeout=30,
+            ).stdout.strip())
+            tree_key = f"{head}{'+dirty' if dirty else ''}"
+        except Exception:
+            tree_key = "unknown"
+        scaling = None
+        if os.environ.get("BENCH_FRESH_SCALING", "") in ("", "0"):
+            try:
+                with open(cache_path) as f:
+                    cached = json.load(f)
+                if cached.get("tree_key") == tree_key and not dirty:
+                    scaling = cached["scaling"]
+            except Exception:
+                pass
+        if scaling is None:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.join(here, "bench_scaling.py")],
+                    capture_output=True, text=True, timeout=900,
+                )
+                scaling = json.loads(proc.stdout.strip().splitlines()[-1])
+                try:
+                    with open(cache_path, "w") as f:
+                        json.dump({"tree_key": tree_key, "scaling": scaling},
+                                  f)
+                except Exception:
+                    pass
+            except Exception as e:  # auxiliary; never fail the bench
+                print(f"# scaling bench skipped: {e}", file=sys.stderr)
+        if scaling is not None:
             result["scaling"] = {
                 k: scaling[k]
                 for k in (
@@ -176,8 +212,6 @@ def main():
                     "search_overhead_efficiency",
                 )
             }
-        except Exception as e:  # scaling is auxiliary; never fail the bench
-            print(f"# scaling bench skipped: {e}", file=sys.stderr)
 
     print(json.dumps(result))
     print(

@@ -109,7 +109,7 @@ def hamming_batch(
         a = np.pad(a, ((0, 0), (0, pad)))
         b = np.pad(b, ((0, 0), (0, pad)))
     DispatchDecision(
-        path="scan", cost_bucket="u32", unit_k=0, max_k=0,
+        path="xla", cost_bucket="u32", unit_k=0, max_k=0,
         padded_m=a.shape[0], padded_n=L,
     ).log("hamming_batch")
     out = hamming_kernel(

@@ -996,8 +996,14 @@ def levenshtein_search_simd_with_opts(
     max_seg = (rows_budget - 15 * mP8 - 4 * m) // 6
     if use_pallas and max_seg < halo + 128:
         use_pallas = False
-    # longer segments amortize halo overlap and host-side prep
-    chunk_target = min(4096, max(((max_seg - halo) // 128) * 128, 128))
+    # longer segments amortize halo overlap and host-side prep; the VMEM
+    # shrink below 4096 only applies when the Pallas kernel actually runs
+    # (the scan path has no VMEM budget — small owned segments there just
+    # multiply redundant halo compute)
+    if use_pallas:
+        chunk_target = min(4096, max(((max_seg - halo) // 128) * 128, 128))
+    else:
+        chunk_target = 4096
     if effective_n <= chunk_target or anchored:
         own_len = round_up_pow2(max(effective_n, 1), 16)
         if use_pallas and own_len + halo > max_seg:

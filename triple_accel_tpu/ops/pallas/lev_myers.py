@@ -270,7 +270,6 @@ def _make_kernel(k: int, max_m: int):
     jax.jit,
     static_argnames=("k", "max_m", "interpret"),
 )
-@partial(jax.jit, static_argnames=("k", "max_m", "interpret"))
 def myers_distance_pallas(
     a_t: jnp.ndarray,  # [G*max_m, B/G] int32 (see prepare_myers_inputs)
     b_t: jnp.ndarray,  # [G*(max_m+WIN), B/G] int32

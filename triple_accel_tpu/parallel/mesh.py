@@ -62,8 +62,14 @@ def assert_mesh_consistent(mesh: Mesh) -> None:
                 f"sees {row[1:].tolist()}, process "
                 f"{int(all_sigs[0, 0])} sees {base.tolist()}"
             )
+    # fixed-length digest rather than padded raw bytes: axis-name strings
+    # of any length produce the same gather shape, so a mismatch always
+    # surfaces as this clear error instead of an allgather shape failure
+    import hashlib
+
     names = ",".join(mesh.axis_names)
-    sig2 = np.frombuffer(names.encode().ljust(64), dtype=np.uint8).copy()
+    digest = hashlib.sha256(names.encode()).digest()
+    sig2 = np.frombuffer(digest, dtype=np.uint8).copy()
     all_names = np.asarray(multihost_utils.process_allgather(sig2))
     if not (all_names == all_names[0]).all():
         raise RuntimeError("mesh axis names differ across processes")
