@@ -304,4 +304,39 @@ int64_t ta_search_all(const uint8_t* needle, int64_t m, const uint8_t* hay,
                           out_k, out_len);
 }
 
+// Batched hit resolution: run the unanchored All-mode streaming search DP
+// over a list of disjoint haystack intervals [starts[i], ends[i]) in one
+// call, emitting every candidate with its GLOBAL end position (starts[i]
+// + local end).  A candidate ending at global position p depends only on
+// the window of chars [p - span, p), so replaying a merged interval that
+// contains each hit's window is exact (see levenshtein._hit_resolve).
+// One call replaces the former per-hit Python/ctypes loop; for dense hit
+// streams the intervals merge into a single O(n*m) streaming pass.
+// Returns the total candidate count, or -1 if `cap` was too small.
+int64_t ta_search_intervals(const uint8_t* needle, int64_t m,
+                            const uint8_t* hay, int64_t n,
+                            const int64_t* starts, const int64_t* ends,
+                            int64_t nint, int64_t k, int32_t mc, int32_t gc,
+                            int32_t sgc, int32_t tc,
+                            int32_t allow_transpose, int64_t cap,
+                            int64_t* out_end, int64_t* out_k,
+                            int64_t* out_len) {
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < nint; ++i) {
+        int64_t s = starts[i];
+        int64_t e = ends[i];
+        if (s < 0) s = 0;
+        if (e > n) e = n;
+        if (e < s) continue;
+        int64_t got = search_all_one(needle, m, hay + s, e - s, k, mc, gc,
+                                     sgc, tc, allow_transpose != 0, false,
+                                     cap - cnt, out_end + cnt, out_k + cnt,
+                                     out_len + cnt);
+        if (got < 0) return -1;
+        for (int64_t q = 0; q < got; ++q) out_end[cnt + q] += s;
+        cnt += got;
+    }
+    return cnt;
+}
+
 }  // extern "C"

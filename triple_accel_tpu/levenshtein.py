@@ -748,49 +748,89 @@ def _empty_needle_matches(
     return res
 
 
-def _hit_resolve(
+def _merge_hit_windows(gpos: np.ndarray, span: int):
+    """Merge the per-hit replay windows [p - span, p) of sorted hit end
+    positions into disjoint char intervals [starts[i], ends[i]).  A
+    cost-<=k candidate ending at p spans at most `span` chars, so an
+    interval containing each hit's window replays it exactly."""
+    gpos = np.asarray(gpos, dtype=np.int64)
+    starts_all = np.maximum(gpos - span, 0)
+    brk = np.flatnonzero(starts_all[1:] > gpos[:-1]) + 1
+    gs = np.concatenate([[0], brk])
+    ge = np.concatenate([brk, [gpos.size]])
+    return starts_all[gs], gpos[ge - 1]
+
+
+# host-time guard for the streaming replay: total DP cells (interval chars
+# x needle len) the batched C++ resolution may burn before the dispatcher
+# prefers the device general engine (whose DP tracks lengths inline)
+_RESOLVE_CELLS_BUDGET = 300_000_000
+
+
+def _resolve_hits_batch(
     needle: np.ndarray,
     haystack: np.ndarray,
-    j: int,
+    gpos: np.ndarray,
     k: int,
     costs: EditCosts,
     span: int,
-) -> Optional[Tuple[int, int]]:
-    """Resolve one kernel hit (end position j, device dist <= k) into the
-    authoritative (dist, length) by replaying the scalar oracle on a window
-    no larger than the maximal match span.  Exact: the oracle IS the
-    tie-break semantics (jewel.rs:364-417), and a cost-<=k match spans at
-    most window_span chars, so the window always contains the full match.
+) -> List[Tuple[int, int, int]]:
+    """Resolve kernel hits (sorted end positions, device dist <= k) into
+    authoritative (end, dist, length) candidates in ONE batched replay.
 
-    Returns None when the oracle finds no match ending at j — which means
-    the kernel hit was an artifact (the one known source: NUL needle bytes
-    matching chunk 0's synthetic zero-pad halo in the Myers search path,
-    see ops/pallas/search_myers.chunk_raw) and must be dropped.  The
-    oracle's distance is returned rather than the kernel's for the same
-    reason: pad contamination can only lower the kernel's value, never
-    raise it, so the replay is authoritative in both directions.
+    The per-hit windows merge into disjoint intervals (dense hit streams
+    collapse into a single streaming pass) and the C++ oracle port runs
+    the All-mode search DP over all of them in one call
+    (native/scalar_baseline.cpp ta_search_intervals); hits the replay
+    doesn't confirm are artifacts (the one known source: NUL needle bytes
+    matching chunk 0's synthetic zero-pad halo, see
+    ops/pallas/search_myers.chunk_raw) and are dropped.  The replay is
+    authoritative in both directions: pad contamination can only lower
+    the kernel's value, never raise it, and the oracle IS the tie-break
+    semantics (jewel.rs:364-417).  The Python oracle remains the fallback
+    when the native library isn't built."""
+    from .utils.native import search_intervals_native
 
-    The replay runs through the C++ oracle port when built
-    (native/scalar_baseline.cpp ta_search_all, ~100x the Python loops —
-    a long-needle window replay costs seconds in Python); the Python
-    oracle remains the fallback and the conformance anchor."""
-    from .utils.native import search_all_native
-
-    w0 = max(0, j - span)
-    window = haystack[w0:j]
-    native = search_all_native(needle, window, k, costs, False)
+    if gpos.size == 0:
+        return []
+    gpos = np.asarray(gpos, dtype=np.int64)
+    istarts, iends = _merge_hit_windows(gpos, span)
+    native = search_intervals_native(needle, haystack, istarts, iends, k,
+                                     costs)
     if native is not None:
         ends, ks, lens = native
-        idx = np.flatnonzero(ends == j - w0)
-        if idx.size:
-            return int(ks[idx[0]]), int(lens[idx[0]])
-        return None
-    for mt in levenshtein_search_naive_with_opts(
-        needle, window, k, SearchType.All, costs, False
-    ):
-        if mt.end == j - w0:
-            return mt.k, mt.end - mt.start
-    return None
+    else:
+        e_l: List[int] = []
+        k_l: List[int] = []
+        l_l: List[int] = []
+        for s, e in zip(istarts.tolist(), iends.tolist()):
+            for mt in levenshtein_search_naive_with_opts(
+                needle, haystack[s:e], k, SearchType.All, costs, False
+            ):
+                e_l.append(s + mt.end)
+                k_l.append(mt.k)
+                l_l.append(mt.end - mt.start)
+        ends = np.asarray(e_l, dtype=np.int64)
+        ks = np.asarray(k_l, dtype=np.int64)
+        lens = np.asarray(l_l, dtype=np.int64)
+    # candidates from disjoint ascending intervals have strictly ascending
+    # (unique) ends; select the requested hit positions only
+    if ends.size == 0:
+        return []
+    idx = np.searchsorted(ends, gpos)
+    idx_c = np.minimum(idx, ends.size - 1)
+    hit = ends[idx_c] == gpos
+    sel = idx_c[hit]
+    return list(zip(gpos[hit].tolist(), ks[sel].tolist(),
+                    lens[sel].tolist()))
+
+
+def _resolve_cells(gpos: np.ndarray, span: int, m: int) -> int:
+    """DP cells the batched replay would burn for these hits."""
+    if gpos.size == 0:
+        return 0
+    istarts, iends = _merge_hit_windows(gpos, span)
+    return int((iends - istarts).sum()) * max(m, 1)
 
 
 def _correct_chunk0_nul_hits(needle, haystack, gpos, d_arr, halo, k, costs,
@@ -802,14 +842,18 @@ def _correct_chunk0_nul_hits(needle, haystack, gpos, d_arr, halo, k, costs,
     if gpos.size == 0 or 0 not in needle:
         return gpos, d_arr
     fix = np.flatnonzero(gpos <= halo)
+    if fix.size == 0:
+        return gpos, d_arr
+    resolved = _resolve_hits_batch(needle, haystack, gpos[fix], k, costs,
+                                   span)
+    by_end = {p: dd for p, dd, _ in resolved}
     keep = np.ones(gpos.size, dtype=bool)
     for fi in fix:
-        resolved = _hit_resolve(needle, haystack, int(gpos[fi]), k, costs,
-                                span)
-        if resolved is None:
+        dd = by_end.get(int(gpos[fi]))
+        if dd is None:
             keep[fi] = False
         else:
-            d_arr[fi] = resolved[0]
+            d_arr[fi] = dd
     return gpos[keep], d_arr[keep]
 
 
@@ -965,26 +1009,27 @@ def levenshtein_search_simd_with_opts(
             needle, haystack, gpos, d_arr, halo, k, costs, span
         )
 
-        resolve_budget = max(512, (iter_len + 1) // 64)
         if search_type == SearchType.Best and gpos.size:
             # Best-mode result can only contain candidates at the global
             # minimum cost (the streaming pass keeps k == final curr_k,
             # reference levenshtein.rs:1812-1835) — so only those need the
-            # per-hit oracle length resolution, dense or not
+            # oracle length resolution, dense or not
             kmin = int(d_arr.min())
             at_min = d_arr == kmin
             gpos, d_arr = gpos[at_min], d_arr[at_min]
-        if gpos.size <= resolve_budget:
-            cands = []
-            for p, dd in zip(gpos, d_arr):
-                resolved = _hit_resolve(needle, haystack, int(p), k, costs,
+        budget = _RESOLVE_CELLS_BUDGET
+        from .utils.native import native_available
+
+        if not native_available():
+            budget //= 100  # python-oracle fallback replay is ~100x slower
+        if _resolve_cells(gpos, span, m) <= budget:
+            cands = _resolve_hits_batch(needle, haystack, gpos, k, costs,
                                         span)
-                if resolved is not None:
-                    cands.append((int(p), resolved[0], resolved[1]))
             return _postprocess_sparse(cands, k, search_type)
-        # degenerate-dense (e.g. All mode on low-complexity text): the
-        # general engine below tracks lengths on device, so per-hit oracle
-        # replays are avoided at the cost of a second device pass
+        # degenerate-dense worst case (All mode over a huge low-complexity
+        # haystack with a long needle): the streaming C++ replay would
+        # exceed the host-time budget, so the general engine below tracks
+        # lengths on device instead, at the cost of a second device pass
     effective_n = iter_len
     # VMEM-aware segment sizing for the general kernel: ~13 mP-tile
     # scratch rings + double-buffered seg/out blocks must fit the 16MB
@@ -1226,7 +1271,11 @@ def levenshtein_search_many(
                 limit_pos=n, num_needles=NUM,
             )
         span = min(window_span(m, k, costs.gap_cost, costs.start_gap_cost), n)
-        resolve_budget = max(512, (n + 1) // 64)
+        from .utils.native import native_available
+
+        budget = _RESOLVE_CELLS_BUDGET
+        if not native_available():
+            budget //= 100
         for slot, i in enumerate(idxs):
             sel = ni_a == slot
             gpos, d_arr = gpos_a[sel], d_a[sel]
@@ -1236,17 +1285,15 @@ def levenshtein_search_many(
             if search_type == SearchType.Best and gpos.size:
                 at_min = d_arr == d_arr.min()
                 gpos, d_arr = gpos[at_min], d_arr[at_min]
-            if gpos.size > resolve_budget:
+            if _resolve_cells(gpos, span, m) > budget:
+                # degenerate-dense worst case: re-dispatch through the
+                # general engine, which tracks lengths on device
                 results[i] = levenshtein_search_simd_with_opts(
                     needles[i], haystack, k, search_type, costs, False
                 )
                 continue
-            cands = []
-            for p in gpos:
-                resolved = _hit_resolve(needles[i], haystack, int(p), k,
+            cands = _resolve_hits_batch(needles[i], haystack, gpos, k,
                                         costs, span)
-                if resolved is not None:
-                    cands.append((int(p), resolved[0], resolved[1]))
             results[i] = _postprocess_sparse(cands, k, search_type)
     return results  # type: ignore[return-value]
 

@@ -26,6 +26,7 @@ __all__ = [
     "scalar_banded_batch_native",
     "myers_distance_batch_native",
     "search_all_native",
+    "search_intervals_native",
 ]
 
 _LIB_NAME = "libta_native.so"
@@ -79,6 +80,15 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
                     ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                     ctypes.c_int32, ctypes.c_int64, i64p, i64p, i64p,
+                ]
+            if hasattr(lib, "ta_search_intervals"):
+                lib.ta_search_intervals.restype = ctypes.c_int64
+                lib.ta_search_intervals.argtypes = [
+                    u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+                    i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+                    i64p, i64p, i64p,
                 ]
             return lib
     return None
@@ -224,6 +234,44 @@ def search_all_native(
             costs.mismatch_cost, costs.gap_cost, costs.start_gap_cost,
             costs.transpose_cost_or_zero,
             1 if costs.allow_transpose else 0, 1 if anchored else 0,
+            cap, _as_i64_ptr(out_e), _as_i64_ptr(out_k), _as_i64_ptr(out_l),
+        )
+        if cnt >= 0:
+            return out_e[:cnt], out_k[:cnt], out_l[:cnt]
+        cap *= 2
+
+
+def search_intervals_native(
+    needle, haystack, starts: np.ndarray, ends: np.ndarray, k: int, costs
+) -> "Optional[tuple]":
+    """All-mode search candidates over disjoint haystack intervals in ONE
+    C++ call (native/scalar_baseline.cpp ta_search_intervals): every
+    (global end, dist, length) with dist <= k whose end lies in one of the
+    intervals [starts[i], ends[i]).  Replaces the per-hit Python replay
+    loop — for dense hit streams the merged intervals collapse into a
+    single O(n*m) streaming pass.  Returns None if the library isn't
+    built (callers fall back to the per-interval Python oracle)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ta_search_intervals"):
+        return None
+    from ..types import to_bytes_array
+
+    nd = np.ascontiguousarray(to_bytes_array(needle))
+    hy = np.ascontiguousarray(to_bytes_array(haystack))
+    st = np.ascontiguousarray(starts, dtype=np.int64)
+    en = np.ascontiguousarray(ends, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    cap = int(np.maximum(en - st, 0).sum()) + 2 * max(len(st), 1)
+    while True:
+        out_e = np.empty(cap, dtype=np.int64)
+        out_k = np.empty(cap, dtype=np.int64)
+        out_l = np.empty(cap, dtype=np.int64)
+        cnt = lib.ta_search_intervals(
+            nd.ctypes.data_as(u8p), len(nd), hy.ctypes.data_as(u8p),
+            len(hy), _as_i64_ptr(st), _as_i64_ptr(en), len(st), k,
+            costs.mismatch_cost, costs.gap_cost, costs.start_gap_cost,
+            costs.transpose_cost_or_zero,
+            1 if costs.allow_transpose else 0,
             cap, _as_i64_ptr(out_e), _as_i64_ptr(out_k), _as_i64_ptr(out_l),
         )
         if cnt >= 0:
