@@ -106,6 +106,22 @@ def test_rand_hamming_search(str_len):
     assert dev_b == ref_b
 
 
+def test_dense_hamming_search_default_k():
+    """Low-complexity text with the blessed default k = ceil(m/2): every
+    block is a candidate — the dense regime must stay exact through the
+    single streaming postprocess pass (native or numpy)."""
+    from triple_accel_tpu.oracle.hamming import default_hamming_k
+
+    rng = np.random.default_rng(SEED + 77)
+    needle = rng.integers(0, 2, 9).astype(np.uint8)
+    haystack = rng.integers(0, 2, 6000).astype(np.uint8)
+    k = default_hamming_k(len(needle))
+    for st in (SearchType.All, SearchType.Best):
+        ref = hamming_search_naive_with_opts(needle, haystack, k, st)
+        dev = hamming_search_simd_with_opts(needle, haystack, k, st)
+        assert dev == ref, st
+
+
 @pytest.mark.parametrize("str_len", [10, 100, 300])
 def test_rand_levenshtein(str_len):
     rng = np.random.default_rng(SEED + str_len)

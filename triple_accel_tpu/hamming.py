@@ -159,29 +159,48 @@ def hamming_search_simd_with_opts(
     mins = np.asarray(mins_d)
     kk = min(k, m)
     cand = np.flatnonzero(mins <= kk)
+    if cand.size == 0:
+        return []
 
-    res: List[Match] = []
-    curr_k = k
-    if cand.size:
-        # pad candidate count to a pow2 bucket to bound recompiles
-        padded = np.empty(round_up_pow2(cand.size, 8), dtype=np.int32)
-        padded[: cand.size] = cand
-        padded[cand.size :] = cand[-1]
-        blocks = np.asarray(hamming_gather_blocks(counts_d, padded))
-        for bi, blk in zip(cand, blocks[: cand.size]):
-            base = int(bi) * BLOCK
-            for off in np.flatnonzero(blk <= kk):
-                c = int(blk[off])
-                if c <= curr_k:
-                    if search_type == SearchType.Best:
-                        curr_k = c
-                    res.append(
-                        Match(start=base + int(off), end=base + int(off) + m,
-                              k=c)
-                    )
-    if search_type == SearchType.Best:
-        return [mt for mt in res if mt.k == curr_k]
-    return res
+    # pad candidate count to a pow2 bucket to bound recompiles
+    padded = np.empty(round_up_pow2(cand.size, 8), dtype=np.int32)
+    padded[: cand.size] = cand
+    padded[cand.size :] = cand[-1]
+    blocks = np.asarray(hamming_gather_blocks(counts_d, padded))
+
+    # scatter the fetched blocks into a sparse full-counts array (sentinel
+    # above k elsewhere — exact because every unfetched position's count
+    # exceeds kk) and run ONE streaming pass over it: the native C++ pass
+    # (native/postprocess.cpp ta_postprocess_hamming) when built, else
+    # vectorized numpy.  With the blessed default k = ceil(m/2) on
+    # low-complexity text every block is a candidate, and this used to be
+    # a per-position Python loop (the reference's streaming iterator is
+    # compiled; hamming.rs:477-554).
+    n_pos = n - m + 1
+    sent = np.int64(max(k, m)) + 1
+    counts_full = np.full(n_pos, sent, dtype=np.int64)
+    bases = cand.astype(np.int64) * BLOCK
+    blk = blocks[: cand.size].astype(np.int64)
+    pos = bases[:, None] + np.arange(BLOCK, dtype=np.int64)[None, :]
+    ok = pos < n_pos
+    counts_full[pos[ok]] = blk[ok]
+
+    from .utils.native import postprocess_hamming_native
+
+    best = search_type == SearchType.Best
+    native = postprocess_hamming_native(counts_full, m, k, best)
+    if native is not None:
+        return native
+    hits = np.flatnonzero(counts_full <= k)
+    if best and hits.size:
+        # streaming Best keeps exactly the candidates at the final
+        # curr_k == global minimum (no overlap dedup in hamming search)
+        gmin = counts_full[hits].min()
+        hits = hits[counts_full[hits] == gmin]
+    return [
+        Match(start=int(i), end=int(i) + m, k=int(counts_full[i]))
+        for i in hits
+    ]
 
 
 def hamming_search_simd(needle: BytesLike, haystack: BytesLike) -> List[Match]:
