@@ -199,3 +199,84 @@ def test_rdamerau_myers_search():
                 needle, hay, 2, SearchType.All, RDAMERAU_COSTS, False
             )
         assert got == ref, needle
+
+
+def _oracle_end_dists(needle, hay, costs, anchored):
+    """Per-end-position min search distance via the oracle (k = m covers
+    every end: deleting the whole needle always costs <= m)."""
+    m = len(needle)
+    D = np.full(len(hay) + 1, 1 << 30, dtype=np.int64)
+    for mt in levenshtein_search_naive_with_opts(
+        needle, hay, m, SearchType.All, costs, anchored
+    ):
+        D[mt.end] = min(D[mt.end], mt.k)
+    return D
+
+
+@pytest.mark.parametrize(
+    "m,damerau,anchored",
+    [
+        (1280, False, False),   # exactly one strip
+        (1281, False, False),   # first cross-strip boundary
+        (1500, False, False),
+        (2600, False, False),   # 3 strips, partial top word (mtop=20? no)
+        (1500, True, False),
+        (2600, True, False),
+        (1500, False, True),
+        (1500, True, True),
+    ],
+)
+def test_blocked_kernel_conformance(m, damerau, anchored):
+    """Direct blocked-kernel distances (single whole-haystack segment) vs
+    the oracle, across strip-boundary word counts, rdamerau and anchored
+    modes."""
+    from triple_accel_tpu.ops.pallas.search_myers import (
+        blocked_search_pallas,
+        prepare_blocked_search_inputs,
+    )
+    from triple_accel_tpu import RDAMERAU_COSTS as RD, LEVENSHTEIN_COSTS as LV
+
+    rng = np.random.default_rng(m * 2 + damerau + 10 * anchored)
+    n = 260
+    needle = rng.integers(0, 4, m).astype(np.uint8)
+    hay = rng.integers(0, 4, n).astype(np.uint8)
+    hay[30:200] = needle[:170]  # correlated region
+    costs = RD if damerau else LV
+    nchar, seg_t, width, _BG = prepare_blocked_search_inputs(
+        needle, hay[None, :]
+    )
+    out = np.asarray(
+        blocked_search_pallas(
+            nchar, seg_t, needle_len=m, width=width, seg_len=n,
+            anchored=anchored, interpret=True, damerau=damerau,
+        )
+    )[: n + 1, 0]
+    ref = _oracle_end_dists(needle, hay, costs, anchored)
+    # anchored oracle caps its column iteration at m + k; with k = m and
+    # n << m no cap applies here
+    assert np.array_equal(out.astype(np.int64), ref), (m, damerau, anchored)
+
+
+def test_blocked_long_needle_dispatch():
+    """A >1280-char needle routes to the blocked path end-to-end
+    (dispatch-log checked) and matches the oracle through the public
+    API, including halo chunking and hit resolution."""
+    from triple_accel_tpu.dispatch import last_dispatch
+
+    rng = np.random.default_rng(4242)
+    m = 1300
+    needle = rng.integers(0, 8, m).astype(np.uint8)
+    hay = rng.integers(0, 8, 400).astype(np.uint8)
+    copy = needle[:300].copy()
+    copy[50] = (copy[50] + 1) % 8
+    hay[60:360] = copy
+    k = 2
+    ref = levenshtein_search_naive_with_opts(
+        needle, hay, k, SearchType.All, LEVENSHTEIN_COSTS, False
+    )
+    with _forced("pallas"):
+        got = levenshtein_search_simd_with_opts(
+            needle, hay, k, SearchType.All, LEVENSHTEIN_COSTS, False
+        )
+    assert last_dispatch().path == "myers_search_blocked"
+    assert got == ref

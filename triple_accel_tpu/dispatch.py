@@ -30,6 +30,8 @@ __all__ = [
     "debug_dispatch",
     "round_up_pow2",
     "DispatchDecision",
+    "last_dispatch",
+    "dispatch_history",
 ]
 
 # Reserve the dtype max as the overflow/infinity sentinel, exactly like the
@@ -97,8 +99,34 @@ class DispatchDecision:
     padded_n: int
 
     def log(self, routine: str) -> None:
+        global _LAST_DISPATCH
+        _LAST_DISPATCH = self
+        _HISTORY.append((routine, self))
+        if len(_HISTORY) > 64:
+            del _HISTORY[:-64]
         debug_dispatch(
             f"{routine} path={self.path} cost={self.cost_bucket} "
             f"unit_k={self.unit_k} max_k={self.max_k} "
             f"padded=({self.padded_m},{self.padded_n})"
         )
+
+
+_LAST_DISPATCH: DispatchDecision | None = None
+_HISTORY: list = []
+
+
+def last_dispatch() -> DispatchDecision | None:
+    """The most recent dispatch decision — the testable face of the debug
+    log (tests assert which kernel path a call actually took)."""
+    return _LAST_DISPATCH
+
+
+def dispatch_history(clear: bool = False) -> list:
+    """Recent (routine, DispatchDecision) records, most recent last (ring
+    of 64).  With clear=True, empties the ring after returning it — used
+    by tests that assert how many device passes a call issued."""
+    global _HISTORY
+    out = list(_HISTORY)
+    if clear:
+        _HISTORY = []
+    return out

@@ -926,35 +926,54 @@ def levenshtein_search_simd_with_opts(
     # unit-cost / rdamerau unanchored fast path: bit-parallel Myers search
     # kernel for the distances (the restricted-Damerau preset adds the
     # transposition seed term in-kernel); lengths recovered per hit from
-    # the oracle.  Dense hit streams (low-complexity text) fall through to
-    # the general engine, whose DP tracks lengths inline.
-    from .ops.pallas.search_myers import myers_search_plan
+    # the oracle.  Needles past the single-strip word budget (1280 chars)
+    # run the BLOCKED kernel (needle strips over the grid, boundary bits
+    # in scratch) as long as one segment fits VMEM.  Dense hit streams
+    # (low-complexity text) fall through to the general engine, whose DP
+    # tracks lengths inline.
+    from .ops.pallas.search_myers import (
+        blocked_seg_budget,
+        myers_blocked_plan,
+        myers_search_plan,
+    )
 
     msplan = myers_search_plan(m)
+    bplan = None
+    if msplan is None and halo + 128 <= blocked_seg_budget():
+        bplan = myers_blocked_plan(m)
     damerau = _costs_tuple(costs) == (1, 1, 0, 1, True)
     if (
         use_pallas
         and forced_path() != "pallas_band"
         and not anchored
         and (_costs_tuple(costs) == (1, 1, 0, 0, False) or damerau)
-        and msplan is not None
+        and (msplan is not None or bplan is not None)
         and iter_len > 0
     ):
         import jax
 
         from .ops.pallas.search_myers import (
+            blocked_search_block_mins,
             chunk_raw,
+            prepare_blocked_search_inputs,
             prepare_myers_search_inputs,
             suggest_own_len,
+            suggest_own_len_blocked,
         )
 
-        own_len = min(suggest_own_len(m, halo), round_up_pow2(iter_len, 128))
+        if msplan is not None:
+            own_len = min(suggest_own_len(m, halo),
+                          round_up_pow2(iter_len, 128))
+        else:
+            own_len = min(suggest_own_len_blocked(m, halo),
+                          round_up_pow2(iter_len, 128))
         segs, C = chunk_raw(haystack[:iter_len], halo, own_len)
         seg_len = halo + own_len
-        nchar, seg_t, _decode = prepare_myers_search_inputs(needle, segs)
-        width = seg_t.shape[0] // msplan[2]
+        path_name = "myers_search_rdamerau" if damerau else "myers_search"
+        if msplan is None:
+            path_name = "myers_search_blocked"
         DispatchDecision(
-            path="myers_search_rdamerau" if damerau else "myers_search",
+            path=path_name,
             cost_bucket="u8",
             unit_k=halo,
             max_k=k,
@@ -966,19 +985,37 @@ def levenshtein_search_simd_with_opts(
             myers_search_block_mins,
         )
 
-        G = msplan[2]
         # raw padded kernel layout (pad rows hold a 2^30 sentinel)
         OUT = -(-(seg_len + 1) // 8) * 8
-        dist_d, mins_d = myers_search_block_mins(
-            nchar,
-            jax.device_put(seg_t),
-            needle_len=m,
-            width=width,
-            seg_len=seg_len,
-            anchored=False,
-            interpret=jax.default_backend() != "tpu",
-            damerau=damerau,
-        )
+        if msplan is not None:
+            nchar, seg_t, _decode = prepare_myers_search_inputs(needle, segs)
+            width = seg_t.shape[0] // msplan[2]
+            G = msplan[2]
+            dist_d, mins_d = myers_search_block_mins(
+                nchar,
+                jax.device_put(seg_t),
+                needle_len=m,
+                width=width,
+                seg_len=seg_len,
+                anchored=False,
+                interpret=jax.default_backend() != "tpu",
+                damerau=damerau,
+            )
+        else:
+            nchar, seg_t, width, _BG = prepare_blocked_search_inputs(
+                needle, segs
+            )
+            G = 1
+            dist_d, mins_d = blocked_search_block_mins(
+                jax.device_put(nchar),
+                jax.device_put(seg_t),
+                needle_len=m,
+                width=width,
+                seg_len=seg_len,
+                anchored=False,
+                interpret=jax.default_backend() != "tpu",
+                damerau=damerau,
+            )
         # two-phase fetch: tiny block minima first, then only the row-blocks
         # that can contain hits (full distance arrays are 4 bytes per
         # haystack byte — the fetch, not the compute, dominates otherwise).

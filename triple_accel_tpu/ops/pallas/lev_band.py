@@ -597,9 +597,15 @@ def _make_trace_kernel(unit_k: int, max_m: int, W: int,
         pr = lax.broadcasted_iota(jnp.int32, (P8, W), 0)
         pc = lax.broadcasted_iota(jnp.int32, (P8, W), 1)
         grp = pc // PACK
+        # integer shift, not exp2: the VPU exp2 approximation can be 1ulp
+        # off at odd powers (observed 2^15 -> 32767 in the Myers kernels);
+        # these exponents are even and happened to be exact, but don't
+        # rely on it
         pw = jnp.where(
             grp == pr,
-            jnp.exp2(2.0 * (pc - grp * PACK).astype(jnp.float32)),
+            (jnp.int32(1) << jnp.clip(2 * (pc - grp * PACK), 0, 30)).astype(
+                jnp.float32
+            ),
             0.0,
         )
 

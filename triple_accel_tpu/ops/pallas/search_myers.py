@@ -39,6 +39,13 @@ __all__ = [
     "myers_search_pallas",
     "prepare_myers_search_inputs",
     "myers_search_plan",
+    "myers_blocked_plan",
+    "blocked_search_pallas",
+    "blocked_search_block_mins",
+    "prepare_blocked_search_inputs",
+    "prepare_blocked_needles",
+    "suggest_own_len_blocked",
+    "blocked_seg_budget",
     "LANES",
 ]
 
@@ -499,6 +506,336 @@ def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
         return d[:C0]
 
     return nchar, seg_t, decode
+
+
+# ---------------------------------------------------------------------------
+# Blocked (needle-strip) variant: UNBOUNDED needle length
+# ---------------------------------------------------------------------------
+#
+# The classical blocked form of Myers' algorithm (Myers 1999 §4 "blocks";
+# Hyyro 2003): the needle column is processed SW words at a time, and the
+# five cross-word boundary bits of each column step — the adder carry, the
+# Ph/Mh horizontal shift bits, and (for the restricted-Damerau extension)
+# the Eq and D0 top bits — stream through a per-column VMEM scratch row
+# shared between consecutive strips of the grid.  Strip s sweeps the whole
+# segment reading the bit rows strip s-1 wrote and overwriting them with
+# its own, so the needle length is unbounded while VMEM holds one strip of
+# state (the TPU analog of the reference's Vec-backed unbounded search
+# Jewels, /root/reference/src/levenshtein.rs:2033-2151 +
+# /root/reference/src/jewel.rs:472-506, 1560-2245 — which the single-strip
+# kernel above could not reach past MAX_NW words).
+
+SW = 64  # words per needle strip: 64 * 20 = 1280 chars of needle per strip
+
+
+def myers_blocked_plan(needle_len: int):
+    """(NWt, SW, n_strips) for the blocked kernel; None for empty needles.
+    No upper length bound — the strip grid scales with the needle."""
+    if needle_len < 1:
+        return None
+    NWt = -(-needle_len // WORD)
+    return NWt, SW, -(-NWt // SW)
+
+
+def blocked_seg_budget() -> int:
+    """Largest seg_len (halo + owned chars) the single-launch blocked
+    kernel can hold: seg and out blocks are double-buffered by the Mosaic
+    pipeline and the carry scratch scales with seg_len too (~5 seg_len
+    rows of [*, 128] int32 total, plus the needle strip), targeting
+    ~11MB of the ~16MB scoped VMEM."""
+    total_rows = 11 * 1024 * 1024 // (LANES * 4)
+    return ((total_rows - 2 * SW * WORD) // 5 // 128) * 128
+
+
+def suggest_own_len_blocked(needle_len: int, halo: int) -> int:
+    """Owned haystack bytes per segment for the blocked kernel, within
+    blocked_seg_budget()."""
+    seg_budget = blocked_seg_budget() - halo - 16
+    return max(128, (min(seg_budget, 4096) // 128) * 128)
+
+
+def _make_blocked_kernel(needle_len: int, width: int, seg_len: int,
+                         n_strips: int, anchored: bool, damerau: bool):
+    m = needle_len
+    NWt = -(-m // WORD)
+    assert n_strips == -(-NWt // SW)
+    TR = SW
+    WINP = SW * WORD  # 1280 needle chars per strip band (8-divisible)
+    mtop = m - WORD * (NWt - 1)
+    s_last = n_strips - 1
+    wS = (m - 1) // WORD - s_last * SW  # score word row in the last strip
+    offS = (m - 1) % WORD
+    OUT = _round_up(seg_len + 1, 8)
+    assert width >= OUT - 1, (width, OUT)
+
+    def kernel(nchar_ref, seg_ref, out_ref, carry_ref):
+        # nchar_ref: [WINP, LANES]   this strip's needle chars (-1 padded)
+        # seg_ref:   [width, LANES]  text chars per segment (0 pad)
+        # out_ref:   [OUT, LANES]    D[m][j]; only the last strip's values
+        #                            survive (earlier strips overwrite)
+        # carry_ref: [OUT+8, LANES]  packed per-column boundary bits,
+        #                            RMW-shared between consecutive strips
+        s = pl.program_id(2)
+        first = s == 0
+        row = lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
+        gw = s * SW + row  # global word index of each state row
+        maskw = jnp.where(
+            gw < NWt - 1, MW, jnp.where(gw == NWt - 1, (1 << mtop) - 1, 0)
+        )
+        zero = jnp.zeros((TR, LANES), jnp.int32)
+        ones = jnp.ones((TR, LANES), jnp.int32)
+        zrow = jnp.zeros((1, LANES), jnp.int32)
+
+        def bnot(x):
+            return x ^ maskw
+
+        def roll_down(x, d):
+            return jnp.where(row < d, 0, pltpu.roll(x, d, axis=0))
+
+        def shl1(x, bit0_row):
+            dn = roll_down(x, 1)
+            carry = jnp.where(row == 0, bit0_row, (dn >> (WORD - 1)) & 1)
+            return ((x << 1) & maskw) | carry
+
+        def add_words(x, y, cin_row):
+            # Kogge-Stone carry chain across the strip's SW words with a
+            # carry injected below word 0 (the previous strip's adder
+            # carry-out at this column); returns (sum, per-row carry-out)
+            ssum = x + y
+            g = ssum >> WORD
+            c = roll_down(g, 1)
+            c = jnp.where(row == 0, c | cin_row, c)
+            p = jnp.where((ssum & maskw) == maskw, ones, zero)
+            pp = roll_down(p, 1)
+            d = 1
+            while d < SW:
+                c = c | (pp & roll_down(c, d))
+                pp = pp & roll_down(pp, d)
+                d <<= 1
+            full = ssum + c
+            return full & maskw, (full >> WORD) & 1
+
+        # Eq via one exact f32 MXU dot per char (weights 2^(c mod WORD))
+        wr = lax.broadcasted_iota(jnp.int32, (TR, WINP), 0)
+        wc = lax.broadcasted_iota(jnp.int32, (TR, WINP), 1)
+        tloc = wc - WORD * wr
+        # integer shift, not exp2: the VPU exp2 approximation is off by
+        # 1ulp at e.g. 2^15, which silently drops Eq bits
+        wts = jnp.where(
+            (tloc >= 0) & (tloc < WORD),
+            (jnp.int32(1) << jnp.clip(tloc, 0, WORD - 1)).astype(jnp.float32),
+            0.0,
+        )
+        nchar = nchar_ref[...]
+
+        def eq_for_step(t):
+            char = seg_ref[pl.ds(t - 1, 1), :]
+            eqf = jnp.where(nchar == char, 1.0, 0.0).astype(jnp.float32)
+            return jnp.dot(
+                wts, eqf, preferred_element_type=jnp.float32
+            ).astype(jnp.int32) & maskw
+
+        def step(t, state, Eq):
+            if damerau:
+                Pv, Mv, S, EqP, D0P, d0p_row = state
+            else:
+                Pv, Mv, S = state
+            bits = carry_ref[pl.ds(t, 1), :]
+            cin = jnp.where(first, zrow, bits & 1)
+            ph_in = jnp.where(first, jnp.full_like(zrow, int(anchored)),
+                              (bits >> 1) & 1)
+            mh_in = jnp.where(first, zrow, (bits >> 2) & 1)
+            if damerau:
+                eq_in = jnp.where(first, zrow, (bits >> 3) & 1)
+                # shl1(bnot(D0P)) bottom bit: NOT of the strip below's D0
+                # top at the previous column (1 when s == 0 mimics the
+                # single-strip zero-injection into bnot)
+                d0n_in = jnp.where(first, zrow, 1 - d0p_row)
+                tr = EqP & shl1(Eq, eq_in) & shl1(bnot(D0P), d0n_in)
+                seeds = Eq | tr
+            else:
+                seeds = Eq
+            Xh_sum, cout = add_words(seeds & Pv, Pv, cin)
+            Xh = (Xh_sum ^ Pv) | seeds
+            Ph = Mv | bnot(Xh | Pv)
+            Mh = Pv & Xh
+            S = S + ((Ph >> offS) & 1) - ((Mh >> offS) & 1)
+            # boundary bits for the strip above, packed into one row
+            top = TR - 1
+            bits_out = (
+                cout[top : top + 1, :]
+                | (((Ph[top : top + 1, :] >> (WORD - 1)) & 1) << 1)
+                | (((Mh[top : top + 1, :] >> (WORD - 1)) & 1) << 2)
+            )
+            PhS = shl1(Ph, ph_in)
+            MhS = shl1(Mh, mh_in)
+            if damerau:
+                D0 = Xh | Mv
+                Pv = MhS | bnot(D0 | PhS)
+                Mv = PhS & D0
+                bits_out = bits_out | (
+                    ((Eq[top : top + 1, :] >> (WORD - 1)) & 1) << 3
+                ) | (((D0[top : top + 1, :] >> (WORD - 1)) & 1) << 4)
+            else:
+                Xv = Eq | Mv
+                Pv = MhS | bnot(Xv | PhS)
+                Mv = PhS & Xv
+            carry_ref[pl.ds(t, 1), :] = bits_out
+
+            # D[m][t] for this segment column; garbage rows from non-last
+            # strips are fully overwritten by the last strip's sweep.  The
+            # unrolled tail may step past the out block (carry_ref has +8
+            # slack rows for it instead).
+            @pl.when(t < OUT)
+            def _():
+                out_ref[pl.ds(t, 1), :] = S[wS : wS + 1, :]
+            if damerau:
+                return (Pv, Mv, S, Eq, D0, (bits >> 4) & 1)
+            return (Pv, Mv, S)
+
+        s0 = jnp.full((TR, LANES), m, jnp.int32)
+        out_ref[0:1, :] = jnp.full((1, LANES), m, jnp.int32)
+        state0 = (
+            (maskw, zero, s0, zero, zero, zrow) if damerau
+            else (maskw, zero, s0)
+        )
+
+        def body(tt, state):
+            t0 = UNROLL * (tt - 1) + 1
+            eqs = [eq_for_step(t0 + r) for r in range(UNROLL)]
+            for r in range(UNROLL):
+                state = step(t0 + r, state, eqs[r])
+            return state
+
+        SL = _round_up(seg_len, UNROLL)
+        lax.fori_loop(1, SL // UNROLL + 1, body, state0)
+
+        # rows past seg_len are pad garbage: +inf sentinel for raw-layout
+        # callers (see myers_search_pallas)
+        rem = OUT - (seg_len + 1)
+        if rem:
+            out_ref[seg_len + 1 : OUT, :] = jnp.full(
+                (rem, LANES), 1 << 30, jnp.int32
+            )
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("needle_len", "width", "seg_len", "anchored",
+                     "num_needles", "interpret", "damerau"),
+)
+def blocked_search_pallas(
+    nchar: jnp.ndarray,  # [num_needles*n_strips*SW*WORD, LANES] int32
+    seg_t: jnp.ndarray,  # [width, BG] int32/uint8 text segments
+    *,
+    needle_len: int,
+    width: int,
+    seg_len: int,
+    anchored: bool = False,
+    num_needles: int = 1,
+    interpret: bool = False,
+    damerau: bool = False,
+):
+    """Per-end-position search distances D[needle_len][j] for needles of
+    ANY length (the blocked form of the Myers kernel above; needle strips
+    ride the innermost grid axis with per-column boundary bits in VMEM
+    scratch).  Output layout matches `myers_search_pallas(raw=True)` with
+    G = 1: needle n's distances occupy rows [n*OUT, (n+1)*OUT), OUT =
+    roundup(seg_len+1, 8), pad rows hold a 2^30 sentinel; segment c lives
+    at column (c // 128)*128 + (c % 128)."""
+    plan = myers_blocked_plan(needle_len)
+    assert plan is not None
+    NWt, _, n_strips = plan
+    WINP = SW * WORD
+    BG = seg_t.shape[1]
+    assert BG % LANES == 0 and seg_t.shape[0] == width
+    assert nchar.shape == (num_needles * n_strips * WINP, LANES)
+    OUT = _round_up(seg_len + 1, 8)
+    seg_t = seg_t.astype(jnp.int32)
+    kernel = _make_blocked_kernel(needle_len, width, seg_len, n_strips,
+                                  anchored, damerau)
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_needles, BG // LANES, n_strips),
+        in_specs=[
+            pl.BlockSpec((WINP, LANES), lambda n, g, s: (n * n_strips + s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, LANES), lambda n, g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((OUT, LANES), lambda n, g, s: (n, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_needles * OUT, BG), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((OUT + 8, LANES), jnp.int32)],
+        interpret=interpret,
+    )(nchar, seg_t)
+    return out
+
+
+@partial(jax.jit, static_argnames=("needle_len", "width", "seg_len",
+                                   "anchored", "num_needles", "interpret",
+                                   "damerau"))
+def blocked_search_block_mins(
+    nchar: jnp.ndarray,
+    seg_t: jnp.ndarray,
+    *,
+    needle_len: int,
+    width: int,
+    seg_len: int,
+    anchored: bool = False,
+    num_needles: int = 1,
+    interpret: bool = False,
+    damerau: bool = False,
+):
+    """Two-phase hit fetch over the blocked kernel (phase 1) — see
+    myers_search_block_mins; same raw padded layout with G = 1."""
+    dist = blocked_search_pallas(
+        nchar, seg_t, needle_len=needle_len, width=width, seg_len=seg_len,
+        anchored=anchored, num_needles=num_needles, interpret=interpret,
+        damerau=damerau,
+    )
+    R = dist.shape[0]
+    pad = (-R) % BLOCK
+    dp = jnp.pad(dist, ((0, pad), (0, 0)), constant_values=1 << 30)
+    mins = jnp.min(dp.reshape(-1, BLOCK, dist.shape[1]), axis=1)
+    return dist, mins
+
+
+def prepare_blocked_needles(needles, needle_len: int) -> np.ndarray:
+    """Stack same-length needles into the [num*n_strips*SW*WORD, LANES]
+    per-strip band layout the blocked kernel expects (-1 pad beyond the
+    needle, lane-replicated)."""
+    plan = myers_blocked_plan(needle_len)
+    assert plan is not None
+    _, _, n_strips = plan
+    WINP = SW * WORD
+    num = len(needles)
+    nchar = np.full((num * n_strips * WINP, LANES), -1, dtype=np.int32)
+    for i, nd in enumerate(needles):
+        assert len(nd) == needle_len
+        flat = np.full(n_strips * WINP, -1, dtype=np.int32)
+        flat[:needle_len] = np.asarray(nd, dtype=np.int32)
+        nchar[i * n_strips * WINP : (i + 1) * n_strips * WINP, :] = flat[
+            :, None
+        ]
+    return nchar
+
+
+def prepare_blocked_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
+    """Pack raw haystack segments for the blocked kernel; returns
+    (nchar, seg_t, width, BG) with seg_t uint8 [width, BG] (segment c in
+    column c, chars from row 0)."""
+    m = len(needle)
+    seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
+    C0, width0 = seg_pad.shape
+    width = _round_up(max(width0, 1) + 1, 8)
+    BG = max(_round_up(max(C0, 1), LANES), 2 * LANES)
+    nchar = prepare_blocked_needles([needle], m)
+    seg_t = np.zeros((width, BG), dtype=np.uint8)
+    seg_t[:width0, :C0] = seg_pad.T
+    return nchar, seg_t, width, BG
 
 
 def collect_hits(
