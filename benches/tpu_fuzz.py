@@ -147,6 +147,53 @@ ref = myers_distance_batch_native(la, lb, 32)
 if ref is not None and any(int(got[i]) != int(ref[i]) for i in range(8)):
     bad += 1; print(f"LONGSTR: {list(got)} vs {list(ref)}")
 print("long-string fuzz done")
+
+# 7. round-3 paths: blocked long-needle search, wide-band blocked
+# distance, tiled long-pair traceback
+m = 1700  # past the single-strip 1280-char ceiling -> blocked kernel
+needle = rng.integers(65, 75, m).astype(np.uint8)
+hay = rng.integers(65, 75, 6000).astype(np.uint8)
+mut = needle.copy(); mut[rng.integers(0, m, 3)] = 65
+hay[2000:2000+m] = mut
+for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS):
+    got = levenshtein_search_simd_with_opts(needle, hay, 5, SearchType.All,
+                                            costs, False)
+    exp = levenshtein_search_naive_with_opts(needle, hay, 5, SearchType.All,
+                                             costs, False)
+    if got != exp:
+        bad += 1; print(f"BLOCKED SEARCH {costs}: {got[:3]} vs {exp[:3]}")
+print("blocked long-needle fuzz done")
+
+wa, wb = [], []
+for _ in range(4):
+    wa.append(rng.integers(65, 69, 6000).astype(np.uint8))
+    wb.append(rng.integers(65, 69, 6100).astype(np.uint8))
+U32 = (1 << 32) - 1
+for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS):
+    got = levenshtein_k_batch(wa, wb, U32, costs)
+    for i in (0, 1):  # python oracle is slow; spot-check two pairs
+        ref = levenshtein_naive_k_with_opts(wa[i], wb[i], U32, False, costs)
+        if int(got[i]) != ref[0]:
+            bad += 1; print(f"WIDEBAND {costs} i{i}: {got[i]} vs {ref[0]}")
+print("wide-band blocked distance fuzz done")
+
+ta, tb = [], []
+for _ in range(6):
+    a = rng.integers(65, 70, 5000).astype(np.uint8)
+    b = list(a)
+    for _ in range(int(rng.integers(1, 8))):
+        op = rng.integers(0, 3)
+        if op == 0: b[rng.integers(0, len(b))] = rng.integers(65, 70)
+        elif op == 1: b.insert(int(rng.integers(0, len(b)+1)), int(rng.integers(65, 70)))
+        else: del b[rng.integers(0, len(b))]
+    ta.append(a); tb.append(np.array(b, np.uint8))
+for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS):
+    dists, traces = levenshtein_k_batch(ta, tb, 30, costs, trace_on=True)
+    for i in range(2):  # oracle traceback on 5000-char pairs is slow
+        ref = levenshtein_naive_k_with_opts(ta[i], tb[i], 30, True, costs)
+        if int(dists[i]) != ref[0] or traces[i] != ref[1]:
+            bad += 1; print(f"TILEDTRACE {costs} i{i}: {dists[i]} vs {ref[0]}")
+print("tiled trace fuzz done")
 print(f"FUZZ TOTAL: {bad} mismatches")
 
 sys.exit(1 if bad else 0)

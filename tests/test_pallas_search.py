@@ -155,6 +155,32 @@ def test_dense_hit_regime():
         assert got == ref, ("band", st)
 
 
+def test_dense_all_mode_single_device_pass():
+    """All-mode default-k over low-complexity text: EVERY position is a
+    hit, and the whole stream must resolve through ONE device wavefront
+    pass (the batched C++ interval replay) — no general-engine re-pass.
+    Asserted via the dispatch history."""
+    from triple_accel_tpu.dispatch import dispatch_history
+
+    rng = np.random.default_rng(29)
+    hay = rng.integers(65, 67, 40_000).astype(np.uint8)
+    needle = rng.integers(65, 67, 8).astype(np.uint8)
+    k = 4  # default_search_k(8)
+    ref = levenshtein_search_naive_with_opts(
+        needle, hay, k, SearchType.All, LEVENSHTEIN_COSTS, False
+    )
+    dispatch_history(clear=True)
+    with _forced("pallas"):
+        got = levenshtein_search_simd_with_opts(
+            needle, hay, k, SearchType.All, LEVENSHTEIN_COSTS, False
+        )
+    hist = dispatch_history()
+    paths = [d.path for _, d in hist]
+    assert paths == ["myers_search"], paths  # exactly one device pass
+    assert got == ref
+    assert len(got) > 30_000  # genuinely dense
+
+
 def test_dense_best_exact_tie_positions():
     # multiple exact (k=0-cost) occurrences: Best must keep every
     # non-overlapped global-min match in stream order

@@ -490,39 +490,73 @@ def levenshtein_k_batch(
         # [max_m * P8] packed-code block alongside the band state
         from .ops.pallas.lev_band import packed_code_rows
 
-        P8 = packed_code_rows(2 * uk_dev + 1)
+        W_band = 2 * uk_dev + 1
+        P8 = packed_code_rows(W_band)
+        # VMEM: double-buffered code blocks + input slabs + 4 [W, 128]
+        # band-state stack tiles (same accounting as band_vmem_plan)
         trace_pallas = (
             use_pallas
-            and (max_m * (P8 + 3) + 2 * uk_dev + 1) <= 16384
+            and (2 * max_m * P8 + 2 * (2 * max_m + W_band) + 4 * W_band)
+            <= 22000
+        )
+        # long traced pairs: row-strip tiled trace kernel (codes stream to
+        # HBM per strip; band state persists in scratch) — the traceback
+        # analog of band_distance_pallas_tiled.  Very wide bands still
+        # fall to the scan walk (the [W, 128] band scratch must fit).
+        trace_tiled = (
+            not trace_pallas and use_pallas and W_band <= 2048
         )
         DispatchDecision(
-            path="trace_pallas" if trace_pallas else "trace_batch",
+            path=("trace_pallas" if trace_pallas
+                  else "trace_tiled" if trace_tiled else "trace_batch"),
             cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
             unit_k=uk_dev,
             max_k=int(max_ks.max(initial=0)),
             padded_m=max_m,
             padded_n=B,
         ).log("levenshtein_k_batch")
-        if trace_pallas:
+        if trace_pallas or trace_tiled:
             import jax
 
             from .ops.band_scan import walk_packed_traceback
             from .ops.pallas.lev_band import (
                 band_trace_pallas,
+                band_trace_pallas_tiled,
                 prepare_pallas_inputs,
+                prepare_tiled_inputs,
+                suggest_trace_strip,
             )
 
-            a_t, b_t, m2, n2, c_fin = prepare_pallas_inputs(
-                swapped_a, swapped_b, uk_dev, max_m
-            )
-            dist2, codes = band_trace_pallas(
-                a_t, b_t, m2, n2, c_fin,
-                unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
-                interpret=jax.default_backend() != "tpu",
-            )
+            interpret = jax.default_backend() != "tpu"
+            if trace_pallas:
+                a_t, b_t, m2, n2, c_fin = prepare_pallas_inputs(
+                    swapped_a, swapped_b, uk_dev, max_m
+                )
+                dist2, codes = band_trace_pallas(
+                    a_t, b_t, m2, n2, c_fin,
+                    unit_k=uk_dev, max_m=max_m,
+                    costs_t=_costs_tuple(costs), interpret=interpret,
+                )
+                walk_m = max_m
+            else:
+                strip = suggest_trace_strip(uk_dev)
+                a_s, b_s, m2, n2, c_fin, n_strips = prepare_tiled_inputs(
+                    swapped_a, swapped_b, uk_dev, strip
+                )
+                dist2, codes = band_trace_pallas_tiled(
+                    a_s, b_s, m2, n2, c_fin,
+                    unit_k=uk_dev, strip=strip, n_strips=n_strips,
+                    costs_t=_costs_tuple(costs), interpret=interpret,
+                )
+                # the walk reads chars from the untiled layout sized to
+                # the codes' row count
+                walk_m = n_strips * strip
+                a_t, b_t, m2, n2, _ = prepare_pallas_inputs(
+                    swapped_a, swapped_b, uk_dev, walk_m
+                )
             seq, _steps = walk_packed_traceback(
                 codes, a_t, b_t, m2, n2,
-                unit_k=uk_dev, max_m=max_m, P8=P8,
+                unit_k=uk_dev, max_m=walk_m, P8=P8,
             )
             out = np.asarray(dist2)[0, :B].astype(np.int64)
             seq_np = np.asarray(seq)[:B]
@@ -601,8 +635,56 @@ def levenshtein_k_batch(
         out = decode(distm).astype(np.int64)
         return np.where(feasible & (out <= max_ks), out, -1)
 
-    # very wide bands leave no VMEM for the strip blocks: scan instead
-    if use_pallas and (2 * uk_dev + 1) > 8192:
+    # band-kernel VMEM planning: untiled, row-strip tiled, or neither
+    # (band + state tiles too large).  When neither fits, unit/rdamerau
+    # costs switch to the chunked blocked Myers distance kernel
+    # (full-matrix bit-parallel, 20 DP cells per lane, unbounded lengths
+    # via needle strips + text chunks) — this is the reference's own
+    # headline call shape (`levenshtein()` on long dissimilar pairs,
+    # levenshtein.rs:1397-1423 over the unbounded AvxNx8x32 band).
+    # Other cost models keep the lax.scan fallback.
+    from .ops.pallas.lev_band import band_vmem_plan
+
+    band_plan = band_vmem_plan(max_m, uk_dev) if use_pallas else None
+    unit_like = _costs_tuple(costs) in (
+        (1, 1, 0, 0, False), (1, 1, 0, 1, True)
+    )
+    if (
+        use_pallas and band_plan is None and unit_like
+        and forced_path() != "pallas_band"
+    ):
+        import jax
+
+        from .ops.pallas.myers_chunked import (
+            blocked_distance_chunked,
+            prepare_blocked_distance_inputs,
+        )
+
+        DispatchDecision(
+            path="myers_blocked_distance",
+            cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
+            unit_k=uk_dev,
+            max_k=int(max_ks.max(initial=0)),
+            padded_m=max_m,
+            padded_n=B,
+        ).log("levenshtein_k_batch")
+        nchar, seg, m2, n2, n_strips, n_chunks = (
+            prepare_blocked_distance_inputs(swapped_a, swapped_b)
+        )
+        dist = np.asarray(
+            blocked_distance_chunked(
+                nchar, seg, m2, n2,
+                n_strips=n_strips, n_chunks=n_chunks,
+                damerau=costs.allow_transpose,
+                interpret=jax.default_backend() != "tpu",
+            )
+        )
+        out = dist[:B].astype(np.int64)
+        # empty-a lanes return 0 from the kernel; true distance is n gaps
+        out = np.where(m_len == 0, n_len, out)
+        return np.where(feasible & (out <= max_ks), out, -1)
+
+    if use_pallas and band_plan is None:
         use_pallas = False
 
     if use_pallas:
@@ -631,7 +713,7 @@ def levenshtein_k_batch(
             )
         else:
             band_dtype = "int32"
-        if (2 * max_m + 2 * uk_dev + 1) > 12288:
+        if band_plan == "tiled":
             # long strings: row-strip tiled kernel (VMEM holds one strip;
             # band state persists in scratch) — no length cliff
             strip = suggest_strip(uk_dev)
@@ -961,6 +1043,10 @@ def levenshtein_search_simd_with_opts(
             suggest_own_len_blocked,
         )
 
+        # quantize the halo so seg_len (a static kernel shape) doesn't
+        # recompile for every distinct (m, k): a larger overlap is still
+        # exact — every cost-<=k candidate's window is contained a fortiori
+        halo = min(-(-halo // 256) * 256, iter_len)
         if msplan is not None:
             own_len = min(suggest_own_len(m, halo),
                           round_up_pow2(iter_len, 128))
@@ -1230,7 +1316,6 @@ def levenshtein_search_many(
         myers_search_block_mins,
         myers_search_plan,
         prepare_myers_needles,
-        prepare_myers_search_inputs,
         suggest_own_len,
     )
     from .ops.search_scan import window_span
@@ -1253,6 +1338,12 @@ def levenshtein_search_many(
     for i, nd in enumerate(needles):
         by_len.setdefault(len(nd), []).append(i)
 
+    # two passes: plan every group first, then share ONE packed haystack
+    # per distinct subgroup width G (the packed layout depends only on G
+    # and the chunking) — a shared quantized halo makes every group's
+    # chunking identical, so mixed-length dictionaries pay the host-side
+    # segment transpose and the device upload once per G, not per length
+    planned = []
     for m, idxs in sorted(by_len.items()):
         msplan = myers_search_plan(m)
         if not (use_batched and msplan is not None and m > 0 and n > 0):
@@ -1261,13 +1352,29 @@ def levenshtein_search_many(
                     needles[i], haystack, k, search_type, costs, False
                 )
             continue
+        planned.append((m, idxs, msplan))
 
+    pack_cache: dict = {}
+    if planned:
+        from .ops.pallas.search_myers import prepare_myers_segs
+
+        halo_all = min(
+            -(-max(window_span(m, k, 1, 0) for m, _, _ in planned)
+              // 256) * 256,
+            n,
+        )
+
+    for m, idxs, msplan in planned:
         G = msplan[2]
-        halo = min(window_span(m, k, 1, 0), n)
-        own_len = min(suggest_own_len(m, halo), round_up_pow2(n, 128))
-        segs, C = chunk_raw(haystack, halo, own_len)
+        halo = halo_all
+        if G not in pack_cache:
+            own = min(suggest_own_len(m, halo), round_up_pow2(n, 128))
+            segs, C_ = chunk_raw(haystack, halo, own)
+            pack_cache[G] = (
+                jax.device_put(prepare_myers_segs(segs, G)), C_, own,
+            )
+        seg_t, C, own_len = pack_cache[G]
         seg_len = halo + own_len
-        _, seg_t, _decode = prepare_myers_search_inputs(needles[idxs[0]], segs)
         nchar = prepare_myers_needles([needles[i] for i in idxs], m)
         width = seg_t.shape[0] // G
         NUM = len(idxs)
@@ -1281,7 +1388,7 @@ def levenshtein_search_many(
         ).log("levenshtein_search_many")
         dist_d, mins_d = myers_search_block_mins(
             jax.device_put(nchar),
-            jax.device_put(seg_t),
+            seg_t,  # already a committed device array (pack_cache)
             needle_len=m,
             width=width,
             seg_len=seg_len,

@@ -59,10 +59,13 @@ __all__ = [
     "band_distance_pallas",
     "band_distance_pallas_tiled",
     "band_trace_pallas",
+    "band_trace_pallas_tiled",
+    "band_vmem_plan",
     "prepare_pallas_inputs",
     "prepare_tiled_inputs",
     "select_band_dtype",
     "suggest_strip",
+    "suggest_trace_strip",
     "LANES",
     "PACK",
     "packed_code_rows",
@@ -318,6 +321,25 @@ def prepare_pallas_inputs(a_list, b_list, unit_k: int, max_m: int):
 # ---------------------------------------------------------------------------
 # Row-strip tiled variant: unbounded string length (VMEM holds one strip)
 # ---------------------------------------------------------------------------
+
+def band_vmem_plan(max_m: int, unit_k: int):
+    """Which band-kernel variant fits scoped VMEM: "untiled" | "tiled" |
+    None.  Counts the double-buffered input slabs AND the four [W, 128]
+    band-state tiles that live on the kernel stack — the latter were
+    missing from the old `2*max_m + W <= 12288` guard, which let
+    max_m=2048, W=4097 through to a measured 21.87M scoped-vmem OOM
+    (limit 16M).  Budget 22000 rows of [*, 128] int32 ~ 11MB."""
+    W = 2 * unit_k + 1
+    budget = 22000
+    if 2 * (2 * max_m + W) + 4 * W + 64 <= budget:
+        return "untiled"
+    strip = suggest_strip(unit_k)
+    HA = _round_up(strip + 1, 8)
+    HB = _round_up(strip + W, 8)
+    if 2 * (HA + HB) + 4 * W + 64 <= budget:
+        return "tiled"
+    return None
+
 
 def suggest_strip(unit_k: int, budget_rows: int = 4096) -> int:
     """Strip height (rows of `a` per grid step) keeping the per-step VMEM
@@ -688,6 +710,209 @@ def _make_trace_kernel(unit_k: int, max_m: int, W: int,
         )
 
     return kernel, P8
+
+
+def suggest_trace_strip(unit_k: int, budget_rows: int = 8192) -> int:
+    """Strip height for the tiled trace kernel: the double-buffered codes
+    block (strip * P8 rows) is the dominant VMEM cost, so the strip
+    shrinks as the band (and with it P8) grows."""
+    P8 = packed_code_rows(2 * unit_k + 1)
+    return max(8, (budget_rows // (2 * P8)) // 8 * 8)
+
+
+def _make_tiled_trace_kernel(unit_k: int, strip: int, n_strips: int, W: int,
+                             costs_t: Tuple[int, int, int, int, bool]):
+    """Row-strip tiled variant of _make_trace_kernel: band state persists
+    in VMEM scratch across the strip grid axis (exactly like
+    _make_tiled_kernel) while each strip's packed argmin codes stream to
+    HBM through the blocked codes output — so traced pair length is
+    unbounded (the VMEM guard on max_m * P8 disappears).  Reference: the
+    traceback lives in every core incl. the unbounded Vec-backed ones,
+    levenshtein.rs:1197-1281."""
+    mc, gc, sgc, tc, allow_transpose = costs_t
+    P8 = packed_code_rows(W)
+
+    def kernel(a_ref, b_ref, m_ref, n_ref, cfin_ref, out_ref, codes_ref,
+               dp0_s, dp1_s, bgap_s, res_s):
+        s = pl.program_id(1)
+        c_iota = lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
+        n_row = n_ref[0:1, :]
+        m_row = m_ref[0:1, :]
+        cfin = cfin_ref[0:1, :]
+        inf = int(INF)
+        inf_tile = jnp.full((W, LANES), inf, jnp.int32)
+
+        pr = lax.broadcasted_iota(jnp.int32, (P8, W), 0)
+        pc = lax.broadcasted_iota(jnp.int32, (P8, W), 1)
+        grp = pc // PACK
+        pw = jnp.where(
+            grp == pr,
+            (jnp.int32(1) << jnp.clip(2 * (pc - grp * PACK), 0, 30)).astype(
+                jnp.float32
+            ),
+            0.0,
+        )
+
+        @pl.when(s == 0)
+        def _init():
+            j0 = c_iota - unit_k
+            dp1_init = jnp.minimum(
+                jnp.where(
+                    (j0 >= 0) & (j0 <= n_row),
+                    j0 * gc + jnp.where(j0 > 0, sgc, 0),
+                    INF,
+                ),
+                inf,
+            ).astype(jnp.int32)
+            dp0_s[...] = inf_tile
+            dp1_s[...] = dp1_init
+            bgap_s[...] = inf_tile
+            res_s[...] = jnp.where(m_row == 0, dp1_init, inf_tile)
+
+        def body(r, carry):
+            dp0, dp1, bgap, res = carry
+            i = s * strip + r + 1
+            a_char = a_ref[pl.ds(r + 1, 1), :]
+            bwin = b_ref[pl.ds(r + 1, W), :]
+
+            j = i + c_iota - unit_k
+            valid = (j >= 0) & (j <= n_row)
+
+            sub = dp1 + jnp.where(a_char == bwin, 0, mc)
+
+            dp1_up = _shift_up(dp1, c_iota, W, inf)
+            bgap_up = _shift_up(bgap, c_iota, W, inf)
+            bgap2 = jnp.minimum(
+                jnp.minimum(dp1_up + (sgc + gc), bgap_up + gc), inf
+            )
+
+            dprime = jnp.minimum(sub, bgap2)
+            if allow_transpose:
+                bwin2 = b_ref[pl.ds(r, W), :]
+                a_prev = a_ref[pl.ds(r, 1), :]
+                tcond = (
+                    (i > 1) & (j > 1) & (a_char == bwin2) & (a_prev == bwin)
+                )
+                trans = jnp.where(tcond, dp0 + tc, inf)
+                dprime = jnp.minimum(dprime, trans)
+
+            dprime = jnp.where(valid, jnp.minimum(dprime, inf), inf)
+
+            g = dprime - c_iota * gc
+            mins = _cummin_sublanes(g, c_iota, W, inf)
+            mins_prev = jnp.where(
+                c_iota == 0, inf, pltpu.roll(mins, shift=1, axis=0)
+            )
+            e = jnp.minimum(sgc + c_iota * gc + mins_prev, inf)
+
+            dp2 = sub
+            code = jnp.zeros((W, LANES), jnp.int32)
+            take_e = e < dp2
+            dp2 = jnp.where(take_e, e, dp2)
+            code = jnp.where(take_e, 1, code)
+            take_b = bgap2 < dp2
+            dp2 = jnp.where(take_b, bgap2, dp2)
+            code = jnp.where(take_b, 2, code)
+            if allow_transpose:
+                take_t = tcond & (trans <= dp2)
+                dp2 = jnp.where(take_t, trans, dp2)
+                code = jnp.where(take_t, 3, code)
+            dp2 = jnp.where(valid, jnp.minimum(dp2, inf), inf)
+
+            packed = jnp.dot(
+                pw, code.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            codes_ref[pl.ds(r * P8, P8), :] = packed
+
+            res = jnp.where(i == m_row, dp2, res)
+            return (dp1, dp2, bgap2, res)
+
+        carry = (dp0_s[...], dp1_s[...], bgap_s[...], res_s[...])
+        dp0, dp1, bgap, res = lax.fori_loop(0, strip, body, carry)
+        dp0_s[...] = dp0
+        dp1_s[...] = dp1
+        bgap_s[...] = bgap
+        res_s[...] = res
+
+        @pl.when(s == n_strips - 1)
+        def _finish():
+            out_ref[0:1, :] = jnp.min(
+                jnp.where(c_iota == cfin, res_s[...], inf),
+                axis=0, keepdims=True,
+            )
+
+    return kernel, P8
+
+
+@partial(
+    jax.jit,
+    static_argnames=("unit_k", "strip", "n_strips", "costs_t", "interpret"),
+)
+def band_trace_pallas_tiled(
+    a_strips: jnp.ndarray,  # [n_strips*HA, B] (prepare_tiled_inputs layout)
+    b_strips: jnp.ndarray,  # [n_strips*HB, B]
+    m: jnp.ndarray,  # [1, B] int32
+    n: jnp.ndarray,  # [1, B] int32
+    c_fin: jnp.ndarray,  # [1, B] int32
+    *,
+    unit_k: int,
+    strip: int,
+    n_strips: int,
+    costs_t: Tuple[int, int, int, int, bool],
+    interpret: bool = False,
+):
+    """Row-strip tiled banded distance + packed traceback codes: traced
+    pairs of ANY length.  Returns (dist [1, B], codes
+    [n_strips*strip*P8, B]) — same packed layout as band_trace_pallas
+    with max_m = n_strips*strip, so walk_packed_traceback consumes it
+    unchanged (paired with untiled walk char buffers)."""
+    W = 2 * unit_k + 1
+    B = a_strips.shape[1]
+    HA = _round_up(strip + 1, 8)
+    HB = _round_up(strip + W, 8)
+    assert B % LANES == 0
+    assert a_strips.shape[0] == n_strips * HA
+    assert b_strips.shape[0] == n_strips * HB
+    if a_strips.dtype == jnp.uint8:
+        a_strips = a_strips.astype(jnp.int32)
+        b_strips = b_strips.astype(jnp.int32)
+    kernel, P8 = _make_tiled_trace_kernel(unit_k, strip, n_strips, W,
+                                          costs_t)
+    dist, codes = pl.pallas_call(
+        kernel,
+        grid=(B // LANES, n_strips),
+        in_specs=[
+            pl.BlockSpec((HA, LANES), lambda g, s: (s, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HB, LANES), lambda g, s: (s, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, LANES), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((strip * P8, LANES), lambda g, s: (s, g),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((n_strips * strip * P8, B), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, LANES), jnp.int32),
+            pltpu.VMEM((W, LANES), jnp.int32),
+            pltpu.VMEM((W, LANES), jnp.int32),
+            pltpu.VMEM((W, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a_strips, b_strips, m, n, c_fin)
+    return dist, codes
 
 
 @partial(

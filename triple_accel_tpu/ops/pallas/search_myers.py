@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "myers_search_pallas",
     "prepare_myers_search_inputs",
+    "prepare_myers_segs",
     "myers_search_plan",
     "myers_blocked_plan",
     "blocked_search_pallas",
@@ -462,6 +463,36 @@ def prepare_myers_needles(needles, needle_len: int) -> np.ndarray:
     return nchar
 
 
+def prepare_myers_segs(seg_pad: np.ndarray, G: int) -> np.ndarray:
+    """Pack raw haystack segments ([C, width0] row-major) into the
+    G-grouped transposed layout [G*width, BG] (uint8) — the needle-free
+    half of the search-input prep, shared by every same-G needle group
+    over the same haystack (levenshtein_search_many packs each (G, halo,
+    own_len) combination once)."""
+    seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
+    C0, width0 = seg_pad.shape
+    # the kernel's tiled stores sweep chars up to OUT-1 = roundup(w0+1,8)-1,
+    # and Mosaic blocks need 8-divisible heights
+    width = _round_up(max(width0, 1) + 1, 8)
+    # at least two 128-lane grid blocks — this Mosaic runtime faults the
+    # TPU worker on single-step grids
+    BG = max(_round_up(max(-(-C0 // G), 1), LANES), 2 * LANES)
+    nG = BG // LANES
+
+    # vectorized grouped transpose: segment c = g*(G*128) + u*128 + lane
+    # lands at rows [u*width, u*width+width0), column g*128 + lane
+    segs_full = np.zeros((nG * G * LANES, width0), dtype=np.uint8)
+    segs_full[:C0] = seg_pad
+    st = (
+        segs_full.reshape(nG, G, LANES, width0)
+        .transpose(1, 3, 0, 2)
+        .reshape(G, width0, BG)
+    )
+    seg_t = np.zeros((G * width, BG), dtype=np.uint8)
+    seg_t.reshape(G, width, BG)[:, :width0, :] = st
+    return seg_t
+
+
 def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
     """Pack raw haystack segments ([C, width0] row-major, chars from row 0;
     e.g. chunk_raw's view, or chunk_haystack's seg_pad sliced at its char
@@ -475,30 +506,13 @@ def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
     plan = myers_search_plan(m)
     assert plan is not None
     NW, SG, G, WIN = plan
-    seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
-    C0, width0 = seg_pad.shape
-    # the kernel's tiled stores sweep chars up to OUT-1 = roundup(w0+1,8)-1,
-    # and Mosaic blocks need 8-divisible heights
-    width = _round_up(max(width0, 1) + 1, 8)
-    # at least two 128-lane grid blocks — this Mosaic runtime faults the
-    # TPU worker on single-step grids
-    BG = max(_round_up(max(-(-C0 // G), 1), LANES), 2 * LANES)
+    C0 = np.asarray(seg_pad).shape[0]
+    seg_t = prepare_myers_segs(seg_pad, G)
+    BG = seg_t.shape[1]
     nG = BG // LANES
 
     nchar = np.full((_round_up(WIN, 8), LANES), -1, dtype=np.int32)
     nchar[:m, :] = np.asarray(needle, dtype=np.int32)[:, None]
-
-    # vectorized grouped transpose: segment c = g*(G*128) + u*128 + lane
-    # lands at rows [u*width, u*width+width0), column g*128 + lane
-    segs_full = np.zeros((nG * G * LANES, width0), dtype=np.uint8)
-    segs_full[:C0] = seg_pad
-    st = (
-        segs_full.reshape(nG, G, LANES, width0)
-        .transpose(1, 3, 0, 2)
-        .reshape(G, width0, BG)
-    )
-    seg_t = np.zeros((G * width, BG), dtype=np.uint8)
-    seg_t.reshape(G, width, BG)[:, :width0, :] = st
 
     def decode(out, seg_len):
         d = np.asarray(out).reshape(G, seg_len + 1, nG, LANES)
