@@ -171,7 +171,10 @@ def main():
     results["mixed_batch_pairs_per_sec"] = len(mixed_a) / dt
 
     # group 8: dictionary search (same-length needles, one resident haystack)
-    from triple_accel_tpu.levenshtein import levenshtein_search_many
+    from triple_accel_tpu.levenshtein import (
+        PackedHaystack,
+        levenshtein_search_many,
+    )
 
     hay8 = rand_str(65536 if quick else 1 << 20)
     needles8 = [rand_str(24) for _ in range(8)]
@@ -185,6 +188,53 @@ def main():
         lambda: levenshtein_search_many(needles8, hay8, 3, SearchType.All)
     )
     results["dictionary_search_bytes_per_sec"] = len(hay8) * len(needles8) / dt
+
+    # group 8b: the repeated-serving pattern — PackedHaystack keeps the
+    # segmented layout resident on the device across calls
+    packed = PackedHaystack(hay8)
+    many_p = levenshtein_search_many(needles8, packed, 3, SearchType.All)
+    assert many_p == many
+    dt = timeit(
+        lambda: levenshtein_search_many(needles8, packed, 3, SearchType.All)
+    )
+    results["dictionary_search_resident_bytes_per_sec"] = (
+        len(hay8) * len(needles8) / dt
+    )
+
+    # group 8c: one-call phase decomposition (host prep / upload / kernel
+    # / fetch+resolve), so the e2e number above is attributable
+    import time as _t
+
+    from triple_accel_tpu.ops.pallas.search_myers import (
+        chunk_raw as _craw, myers_search_plan as _plan,
+        prepare_myers_segs as _psegs, suggest_own_len as _sol,
+    )
+    from triple_accel_tpu.ops.search_scan import window_span as _wspan
+    import jax as _jax
+
+    m8 = 24
+    halo8 = min(-(-_wspan(m8, 3, 1, 0) // 256) * 256, len(hay8))
+    own8 = _sol(m8, halo8)
+    G8 = _plan(m8)[2]
+    t0 = _t.perf_counter()
+    segs8, _ = _craw(hay8, halo8, own8)
+    seg_t8 = _psegs(segs8, G8)
+    t_prep = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    dev8 = _jax.device_put(seg_t8)
+    dev8.block_until_ready()
+    t_upload = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    levenshtein_search_many(needles8, packed, 3, SearchType.All)
+    t_resident = _t.perf_counter() - t0
+    print(
+        json.dumps({
+            "bench": "dictionary_phase_seconds",
+            "host_prep": round(t_prep, 4),
+            "upload": round(t_upload, 4),
+            "resident_call": round(t_resident, 4),
+        })
+    )
 
     for name, v in results.items():
         unit = (

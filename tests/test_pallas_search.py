@@ -306,3 +306,36 @@ def test_blocked_long_needle_dispatch():
         )
     assert last_dispatch().path == "myers_search_blocked"
     assert got == ref
+
+
+@pytest.mark.parametrize("damerau", [False, True])
+def test_chunked_search_engine(damerau):
+    """The chunked search engine (needle strips as chained launches, text
+    tiled per grid step — the any-(m, k) fallback) must match the oracle;
+    forced by shrinking the other engines' budgets."""
+    import triple_accel_tpu.ops.pallas.search_myers as sm
+    from triple_accel_tpu import RDAMERAU_COSTS
+    from triple_accel_tpu.dispatch import last_dispatch
+
+    costs = RDAMERAU_COSTS if damerau else LEVENSHTEIN_COSTS
+    saved = (sm.myers_halo_budget, sm.blocked_seg_budget)
+    sm.myers_halo_budget = lambda m: 0
+    sm.blocked_seg_budget = lambda: 0
+    try:
+        rng = np.random.default_rng(31 + damerau)
+        m, n, k = 11, 1400, 3
+        needle = rng.integers(0, 4, m).astype(np.uint8)
+        hay = rng.integers(0, 4, n).astype(np.uint8)
+        hay[600 : 600 + m] = needle
+        for st in (SearchType.All, SearchType.Best):
+            ref = levenshtein_search_naive_with_opts(
+                needle, hay, k, st, costs, False
+            )
+            with _forced("pallas"):
+                got = levenshtein_search_simd_with_opts(
+                    needle, hay, k, st, costs, False
+                )
+            assert last_dispatch().path == "myers_search_chunked"
+            assert got == ref, (st, damerau)
+    finally:
+        sm.myers_halo_budget, sm.blocked_seg_budget = saved

@@ -49,6 +49,7 @@ from .levenshtein import (
     levenshtein_exp_batch,
     levenshtein_k_batch,
     levenshtein_search,
+    PackedHaystack,
     levenshtein_search_many,
     rdamerau,
     rdamerau_exp,
@@ -84,6 +85,7 @@ __all__ = [
     "levenshtein_exp",
     "levenshtein_exp_batch",
     "levenshtein_search",
+    "PackedHaystack",
     "levenshtein_search_many",
     "rdamerau",
     "rdamerau_exp",

@@ -70,6 +70,7 @@ __all__ = [
     "levenshtein_search_naive_with_opts",
     "levenshtein_search_simd",
     "levenshtein_search_many",
+    "PackedHaystack",
     "levenshtein_search_simd_with_opts",
     "levenshtein_search",
     "translate_str",
@@ -1006,58 +1007,72 @@ def levenshtein_search_simd_with_opts(
     use_pallas = _use_pallas()
 
     # unit-cost / rdamerau unanchored fast path: bit-parallel Myers search
-    # kernel for the distances (the restricted-Damerau preset adds the
+    # kernels for the distances (the restricted-Damerau preset adds the
     # transposition seed term in-kernel); lengths recovered per hit from
-    # the oracle.  Needles past the single-strip word budget (1280 chars)
-    # run the BLOCKED kernel (needle strips over the grid, boundary bits
-    # in scratch) as long as one segment fits VMEM.  Dense hit streams
-    # (low-complexity text) fall through to the general engine, whose DP
-    # tracks lengths inline.
+    # the batched oracle replay.  Three engines cover EVERY (m, k):
+    #   subgroup — single-strip kernel, needles <= 1280 chars, halo within
+    #              its VMEM budget (G segment-blocks per vreg, fastest);
+    #   blocked  — needle strips over the grid, one whole segment + its
+    #              boundary-bit scratch in VMEM;
+    #   chunked  — needle strips as chained launches, text tiled 1024
+    #              columns per grid step: any needle length, any halo.
     from .ops.pallas.search_myers import (
         blocked_seg_budget,
-        myers_blocked_plan,
+        myers_halo_budget,
         myers_search_plan,
     )
 
-    msplan = myers_search_plan(m)
-    bplan = None
-    if msplan is None and halo + 128 <= blocked_seg_budget():
-        bplan = myers_blocked_plan(m)
     damerau = _costs_tuple(costs) == (1, 1, 0, 1, True)
+    engine = None
     if (
         use_pallas
         and forced_path() != "pallas_band"
         and not anchored
         and (_costs_tuple(costs) == (1, 1, 0, 0, False) or damerau)
-        and (msplan is not None or bplan is not None)
         and iter_len > 0
     ):
+        # quantize the halo so seg_len (a static kernel shape) doesn't
+        # recompile for every distinct (m, k): a larger overlap is still
+        # exact — every cost-<=k candidate's window is contained a fortiori
+        halo = min(-(-halo // 256) * 256, iter_len)
+        msplan = myers_search_plan(m)
+        if msplan is not None and halo <= myers_halo_budget(m):
+            engine = "subgroup"
+        elif halo + 128 <= blocked_seg_budget():
+            engine = "blocked"
+        else:
+            engine = "chunked"
+    if engine is not None:
         import jax
 
         from .ops.pallas.search_myers import (
             blocked_search_block_mins,
             chunk_raw,
+            myers_gather_blocks,
+            myers_search_block_mins,
             prepare_blocked_search_inputs,
             prepare_myers_search_inputs,
             suggest_own_len,
             suggest_own_len_blocked,
         )
 
-        # quantize the halo so seg_len (a static kernel shape) doesn't
-        # recompile for every distinct (m, k): a larger overlap is still
-        # exact — every cost-<=k candidate's window is contained a fortiori
-        halo = min(-(-halo // 256) * 256, iter_len)
-        if msplan is not None:
+        interpret = jax.default_backend() != "tpu"
+        if engine == "subgroup":
             own_len = min(suggest_own_len(m, halo),
                           round_up_pow2(iter_len, 128))
-        else:
+        elif engine == "blocked":
             own_len = min(suggest_own_len_blocked(m, halo),
                           round_up_pow2(iter_len, 128))
+        else:
+            # chunked: no VMEM bound on seg_len — owned length >= halo
+            # keeps the overlap redundancy under 2x
+            own_len = min(round_up_pow2(iter_len, 128),
+                          max(4096, round_up_pow2(halo, 128)))
         segs, C = chunk_raw(haystack[:iter_len], halo, own_len)
         seg_len = halo + own_len
         path_name = "myers_search_rdamerau" if damerau else "myers_search"
-        if msplan is None:
-            path_name = "myers_search_blocked"
+        if engine != "subgroup":
+            path_name = f"myers_search_{engine}"
         DispatchDecision(
             path=path_name,
             cost_bucket="u8",
@@ -1066,17 +1081,14 @@ def levenshtein_search_simd_with_opts(
             padded_m=m,
             padded_n=seg_len,
         ).log("levenshtein_search_simd_with_opts")
-        from .ops.pallas.search_myers import (
-            myers_gather_blocks,
-            myers_search_block_mins,
-        )
 
-        # raw padded kernel layout (pad rows hold a 2^30 sentinel)
-        OUT = -(-(seg_len + 1) // 8) * 8
-        if msplan is not None:
+        t_off = 0
+        if engine == "subgroup":
+            # raw padded kernel layout (pad rows hold a 2^30 sentinel)
+            OUT = -(-(seg_len + 1) // 8) * 8
             nchar, seg_t, _decode = prepare_myers_search_inputs(needle, segs)
-            width = seg_t.shape[0] // msplan[2]
-            G = msplan[2]
+            G = myers_search_plan(m)[2]
+            width = seg_t.shape[0] // G
             dist_d, mins_d = myers_search_block_mins(
                 nchar,
                 jax.device_put(seg_t),
@@ -1084,10 +1096,11 @@ def levenshtein_search_simd_with_opts(
                 width=width,
                 seg_len=seg_len,
                 anchored=False,
-                interpret=jax.default_backend() != "tpu",
+                interpret=interpret,
                 damerau=damerau,
             )
-        else:
+        elif engine == "blocked":
+            OUT = -(-(seg_len + 1) // 8) * 8
             nchar, seg_t, width, _BG = prepare_blocked_search_inputs(
                 needle, segs
             )
@@ -1099,8 +1112,31 @@ def levenshtein_search_simd_with_opts(
                 width=width,
                 seg_len=seg_len,
                 anchored=False,
-                interpret=jax.default_backend() != "tpu",
+                interpret=interpret,
                 damerau=damerau,
+            )
+        else:
+            from .ops.pallas.myers_chunked import (
+                TC,
+                blocked_search_chunked_mins,
+                prepare_chunked_needles,
+                prepare_chunked_search_segs,
+            )
+
+            nchar, n_strips = prepare_chunked_needles([needle], m)
+            seg_c, _BGc, n_chunks = prepare_chunked_search_segs(segs)
+            G = 1
+            OUT = n_chunks * TC  # row r holds D[r + 1] (t_offset below)
+            t_off = 1
+            dist_d, mins_d = blocked_search_chunked_mins(
+                jax.device_put(nchar),
+                jax.device_put(seg_c),
+                needle_len=m,
+                n_strips=n_strips,
+                n_chunks=n_chunks,
+                anchored=False,
+                damerau=damerau,
+                interpret=interpret,
             )
         # two-phase fetch: tiny block minima first, then only the row-blocks
         # that can contain hits (full distance arrays are 4 bytes per
@@ -1123,7 +1159,7 @@ def levenshtein_search_simd_with_opts(
             _, gpos, d_arr = collect_hits(
                 blocks, rb, cols, k,
                 OUT=OUT, G=G, C=C, halo=halo, own_len=own_len,
-                limit_pos=iter_len,
+                limit_pos=iter_len, t_offset=t_off,
             )
         span = min(
             window_span(m, k, costs.gap_cost, costs.start_gap_cost), n
@@ -1290,9 +1326,43 @@ def levenshtein_search_simd_with_opts(
     return postprocess_matches(dists, lengths, k, search_type)
 
 
+class PackedHaystack:
+    """A haystack pre-packed for repeated dictionary searches.
+
+    The serving pattern: build once, then call `levenshtein_search_many`
+    with it many times — the segmented device layout (the dominant host
+    cost plus a full upload per call) is built and uploaded once per
+    distinct (subgroup width G, halo bucket, owned length) and held on
+    the device.  The packed layouts snapshot the haystack at
+    construction; mutate the original array afterwards and the snapshot
+    (deliberately) keeps answering for the old contents.
+    """
+
+    def __init__(self, haystack: BytesLike):
+        self.haystack = np.ascontiguousarray(to_bytes_array(haystack))
+        self._packs: dict = {}
+
+    def __len__(self) -> int:
+        return len(self.haystack)
+
+    def pack(self, G: int, halo: int, own_len: int):
+        """Device-resident [G*width, BG] segment pack (memoized)."""
+        import jax
+
+        from .ops.pallas.search_myers import chunk_raw, prepare_myers_segs
+
+        key = (G, halo, own_len)
+        hit = self._packs.get(key)
+        if hit is None:
+            segs, C = chunk_raw(self.haystack, halo, own_len)
+            hit = (jax.device_put(prepare_myers_segs(segs, G)), C)
+            self._packs[key] = hit
+        return hit
+
+
 def levenshtein_search_many(
     needles: Sequence[BytesLike],
-    haystack: BytesLike,
+    haystack,
     k: int,
     search_type: SearchType = SearchType.Best,
     costs: EditCosts = LEVENSHTEIN_COSTS,
@@ -1306,6 +1376,9 @@ def levenshtein_search_many(
     lanes.  Other cost models (and oversized needles) fall back to
     per-needle dispatch.  Returns one Match list per needle, each
     identical to `levenshtein_search_simd_with_opts(needle, ...)`.
+
+    `haystack` may be a `PackedHaystack` to reuse the segmented device
+    layout across calls (the repeated-serving fast path).
     """
     import jax
 
@@ -1321,7 +1394,12 @@ def levenshtein_search_many(
     from .ops.search_scan import window_span
 
     needles = [to_bytes_array(nd) for nd in needles]
-    haystack = to_bytes_array(haystack)
+    packed: Optional[PackedHaystack] = None
+    if isinstance(haystack, PackedHaystack):
+        packed = haystack
+        haystack = packed.haystack
+    else:
+        haystack = to_bytes_array(haystack)
     n = len(haystack)
     costs.check_search()
     results: List[Optional[List[Match]]] = [None] * len(needles)
@@ -1369,10 +1447,12 @@ def levenshtein_search_many(
         halo = halo_all
         if G not in pack_cache:
             own = min(suggest_own_len(m, halo), round_up_pow2(n, 128))
-            segs, C_ = chunk_raw(haystack, halo, own)
-            pack_cache[G] = (
-                jax.device_put(prepare_myers_segs(segs, G)), C_, own,
-            )
+            if packed is not None:
+                dev, C_ = packed.pack(G, halo, own)
+            else:
+                segs, C_ = chunk_raw(haystack, halo, own)
+                dev = jax.device_put(prepare_myers_segs(segs, G))
+            pack_cache[G] = (dev, C_, own)
         seg_t, C, own_len = pack_cache[G]
         seg_len = halo + own_len
         nchar = prepare_myers_needles([needles[i] for i in idxs], m)

@@ -45,6 +45,10 @@ from .search_myers import LANES, MW, SW, WORD, _round_up
 __all__ = [
     "blocked_distance_chunked",
     "prepare_blocked_distance_inputs",
+    "blocked_search_chunked",
+    "blocked_search_chunked_mins",
+    "prepare_chunked_needles",
+    "prepare_chunked_search_segs",
     "TC",
 ]
 
@@ -334,3 +338,307 @@ def prepare_blocked_distance_inputs(a_list, b_list):
         n_strips,
         n_chunks,
     )
+
+
+# ---------------------------------------------------------------------------
+# SEARCH mode: per-end-position distances, unbounded needle AND halo
+# ---------------------------------------------------------------------------
+
+def _make_search_kernel(needle_len: int, anchored: bool, damerau: bool):
+    """One needle strip sweeping all text chunks of every segment,
+    emitting D[m][t] per column (the chunked analog of
+    search_myers._make_blocked_kernel).  The score row S is a [1, LANES]
+    scalar row rebuilt fresh per strip: only the strip containing the
+    needle's last word accumulates real contributions (masked by `own`),
+    and only the last launch's output is consumed.  The word-op helpers
+    deliberately mirror _make_distance_kernel's, which are chip-validated
+    — keep them in sync."""
+    m = needle_len
+    NWt = -(-m // WORD)
+    mtop = m - WORD * (NWt - 1)
+    wG = (m - 1) // WORD
+    offS = (m - 1) % WORD
+    TR = SW
+    WINP = SW * WORD
+
+    def kernel(nchar_ref, seg_ref, bits_in_ref, sbase_ref,
+               bits_out_ref, out_ref,
+               pv_s, mv_s, eqp_s, d0p_s, d0row_s, srow_s):
+        c = pl.program_id(2)
+        row = lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
+        sbase = sbase_ref[0:1, :]
+        gw = sbase + row
+        maskw = jnp.where(
+            gw < NWt - 1, MW, jnp.where(gw == NWt - 1, (1 << mtop) - 1, 0)
+        )
+        zero = jnp.zeros((TR, LANES), jnp.int32)
+        ones = jnp.ones((TR, LANES), jnp.int32)
+        own = gw == wG
+
+        def bnot(x):
+            return x ^ maskw
+
+        def roll_down(x, d):
+            return jnp.where(row < d, 0, pltpu.roll(x, d, axis=0))
+
+        def shl1(x, bit0_row):
+            dn = roll_down(x, 1)
+            carry = jnp.where(row == 0, bit0_row, (dn >> (WORD - 1)) & 1)
+            return ((x << 1) & maskw) | carry
+
+        def add_words(x, y, cin_row):
+            ssum = x + y
+            g = ssum >> WORD
+            cr = roll_down(g, 1)
+            cr = jnp.where(row == 0, cr | cin_row, cr)
+            p = jnp.where((ssum & maskw) == maskw, ones, zero)
+            pp = roll_down(p, 1)
+            d = 1
+            while d < SW:
+                cr = cr | (pp & roll_down(cr, d))
+                pp = pp & roll_down(pp, d)
+                d <<= 1
+            full = ssum + cr
+            return full & maskw, (full >> WORD) & 1
+
+        wr = lax.broadcasted_iota(jnp.int32, (TR, WINP), 0)
+        wc = lax.broadcasted_iota(jnp.int32, (TR, WINP), 1)
+        tloc = wc - WORD * wr
+        wts = jnp.where(
+            (tloc >= 0) & (tloc < WORD),
+            (jnp.int32(1) << jnp.clip(tloc, 0, WORD - 1)).astype(
+                jnp.float32
+            ),
+            0.0,
+        )
+        nchar = nchar_ref[...]
+
+        def eq_for_step(r):
+            char = seg_ref[pl.ds(r, 1), :]
+            eqf = jnp.where(nchar == char, 1.0, 0.0).astype(jnp.float32)
+            return jnp.dot(
+                wts, eqf, preferred_element_type=jnp.float32
+            ).astype(jnp.int32) & maskw
+
+        @pl.when(c == 0)
+        def _init():
+            pv_s[...] = maskw
+            mv_s[...] = zero
+            srow_s[...] = jnp.full((8, LANES), m, jnp.int32)
+            if damerau:
+                eqp_s[...] = zero
+                d0p_s[...] = zero
+                d0row_s[...] = jnp.zeros((8, LANES), jnp.int32)
+
+        def step(r, state):
+            Pv, Mv, S_row, EqP, D0P, d0p_row = state
+            Eq = eq_for_step(r)
+            bits = bits_in_ref[pl.ds(r, 1), :]
+            cin = bits & 1
+            ph_in = (bits >> 1) & 1
+            mh_in = (bits >> 2) & 1
+            if damerau:
+                eq_in = (bits >> 3) & 1
+                tr = EqP & shl1(Eq, eq_in) & shl1(bnot(D0P), 1 - d0p_row)
+                seeds = Eq | tr
+            else:
+                seeds = Eq
+            Xh_sum, cout = add_words(seeds & Pv, Pv, cin)
+            Xh = (Xh_sum ^ Pv) | seeds
+            Ph = Mv | bnot(Xh | Pv)
+            Mh = Pv & Xh
+            ds = jnp.sum(
+                jnp.where(own, ((Ph >> offS) & 1) - ((Mh >> offS) & 1), 0),
+                axis=0, keepdims=True,
+            )
+            S_row = S_row + ds
+            top = TR - 1
+            bits_out = (
+                cout[top : top + 1, :]
+                | (((Ph[top : top + 1, :] >> (WORD - 1)) & 1) << 1)
+                | (((Mh[top : top + 1, :] >> (WORD - 1)) & 1) << 2)
+            )
+            PhS = shl1(Ph, ph_in)
+            MhS = shl1(Mh, mh_in)
+            if damerau:
+                D0 = Xh | Mv
+                Pv = MhS | bnot(D0 | PhS)
+                Mv = PhS & D0
+                bits_out = bits_out | (
+                    ((Eq[top : top + 1, :] >> (WORD - 1)) & 1) << 3
+                ) | (((D0[top : top + 1, :] >> (WORD - 1)) & 1) << 4)
+            else:
+                Xv = Eq | Mv
+                Pv = MhS | bnot(Xv | PhS)
+                Mv = PhS & Xv
+            bits_out_ref[pl.ds(r, 1), :] = bits_out
+            # D[m][t] at block row r (t = c*TC + r + 1); only the LAST
+            # launch's output array is consumed by the caller
+            out_ref[pl.ds(r, 1), :] = S_row
+            if damerau:
+                return (Pv, Mv, S_row, Eq, D0, (bits >> 4) & 1)
+            return (Pv, Mv, S_row, EqP, D0P, d0p_row)
+
+        state0 = (
+            pv_s[...], mv_s[...], srow_s[0:1, :],
+            eqp_s[...] if damerau else zero,
+            d0p_s[...] if damerau else zero,
+            d0row_s[0:1, :] if damerau else jnp.zeros((1, LANES), jnp.int32),
+        )
+        Pv, Mv, S_row, EqP, D0P, d0p_row = lax.fori_loop(0, TC, step, state0)
+        pv_s[...] = Pv
+        mv_s[...] = Mv
+        srow_s[0:1, :] = S_row
+        if damerau:
+            eqp_s[...] = EqP
+            d0p_s[...] = D0P
+            d0row_s[0:1, :] = d0p_row
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("needle_len", "n_strips", "n_chunks", "anchored",
+                     "num_needles", "damerau", "interpret"),
+)
+def blocked_search_chunked(
+    nchar: jnp.ndarray,  # [n_strips*num_needles*SW*WORD, LANES] int32,
+    #                      strip-major (see prepare_chunked_needles)
+    seg: jnp.ndarray,  # [n_chunks*TC, BG] uint8/int32 segment chars
+    *,
+    needle_len: int,
+    n_strips: int,
+    n_chunks: int,
+    anchored: bool = False,
+    num_needles: int = 1,
+    damerau: bool = False,
+    interpret: bool = False,
+):
+    """Per-end-position search distances for needles AND segment lengths
+    of any size.  Output layout: [num_needles*n_chunks*TC, BG] int32 with
+    needle n's D[m][t] at row n*n_chunks*TC + (t - 1) — NOTE the -1 shift
+    vs the single-launch raw layout (D[m][0] = m is not emitted; callers
+    handle the end-0 candidate host-side, see collect_hits t_offset)."""
+    WINP = SW * WORD
+    BG = seg.shape[1]
+    assert BG % LANES == 0
+    assert seg.shape[0] == n_chunks * TC
+    assert nchar.shape == (n_strips * num_needles * WINP, LANES)
+    seg = seg.astype(jnp.int32)
+    kernel = _make_search_kernel(needle_len, anchored, damerau)
+    grid = (num_needles, BG // LANES, n_chunks)
+    prefill = (1 << 1) if anchored else 0
+    if damerau:
+        prefill |= 1 << 4
+    bits = jnp.full((num_needles * n_chunks * TC, BG), prefill, jnp.int32)
+    out = None
+    for s in range(n_strips):
+        nchar_s = lax.slice(
+            nchar, (s * num_needles * WINP, 0),
+            ((s + 1) * num_needles * WINP, LANES),
+        )
+        sbase = jnp.full((1, BG), s * SW, jnp.int32)
+        bits, out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((WINP, LANES), lambda n, g, c: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TC, LANES), lambda n, g, c: (c, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TC, LANES),
+                             lambda n, g, c: (n * n_chunks + c, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES), lambda n, g, c: (0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((TC, LANES),
+                             lambda n, g, c: (n * n_chunks + c, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TC, LANES),
+                             lambda n, g, c: (n * n_chunks + c, g),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((num_needles * n_chunks * TC, BG),
+                                     jnp.int32),
+                jax.ShapeDtypeStruct((num_needles * n_chunks * TC, BG),
+                                     jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((SW, LANES), jnp.int32),  # Pv
+                pltpu.VMEM((SW, LANES), jnp.int32),  # Mv
+                pltpu.VMEM((SW, LANES), jnp.int32),  # EqP
+                pltpu.VMEM((SW, LANES), jnp.int32),  # D0P
+                pltpu.VMEM((8, LANES), jnp.int32),  # d0 top row
+                pltpu.VMEM((8, LANES), jnp.int32),  # S row
+            ],
+            interpret=interpret,
+        )(nchar_s, seg, bits, sbase)
+    return out
+
+
+def blocked_search_chunked_mins(
+    nchar, seg, *, needle_len, n_strips, n_chunks, anchored=False,
+    num_needles=1, damerau=False, interpret=False,
+):
+    """Two-phase hit fetch over the chunked search output (phase 1):
+    returns (dist, per-BLOCK column minima) like myers_search_block_mins.
+    Positions past each segment's data hold garbage scores — callers must
+    bound hits by their own position mapping (collect_hits limit_pos),
+    exactly as with the raw padded layouts."""
+    from .search_myers import BLOCK
+
+    dist = blocked_search_chunked(
+        nchar, seg, needle_len=needle_len, n_strips=n_strips,
+        n_chunks=n_chunks, anchored=anchored, num_needles=num_needles,
+        damerau=damerau, interpret=interpret,
+    )
+    R = dist.shape[0]
+    pad = (-R) % BLOCK
+    dp = jnp.pad(dist, ((0, pad), (0, 0)), constant_values=1 << 30)
+    mins = jnp.min(dp.reshape(-1, BLOCK, dist.shape[1]), axis=1)
+    return dist, mins
+
+
+blocked_search_chunked_mins = partial(
+    jax.jit, static_argnames=(
+        "needle_len", "n_strips", "n_chunks", "anchored", "num_needles",
+        "damerau", "interpret",
+    ),
+)(blocked_search_chunked_mins)
+
+
+def prepare_chunked_needles(needles, needle_len: int):
+    """[n_strips*num*WINP, LANES] strip-major needle bands (strip s of
+    every needle contiguous, so each launch slices one strip block)."""
+    WINP = SW * WORD
+    NWt = max(-(-needle_len // WORD), 1)
+    n_strips = -(-NWt // SW)
+    num = len(needles)
+    nchar = np.full((n_strips * num * WINP, LANES), -1, dtype=np.int32)
+    for i, nd in enumerate(needles):
+        assert len(nd) == needle_len
+        flat = np.full(n_strips * WINP, -1, dtype=np.int32)
+        flat[:needle_len] = np.asarray(nd, dtype=np.int32)
+        for s in range(n_strips):
+            base = (s * num + i) * WINP
+            nchar[base : base + WINP, :] = flat[
+                s * WINP : (s + 1) * WINP, None
+            ]
+    return nchar, n_strips
+
+
+def prepare_chunked_search_segs(seg_pad: np.ndarray):
+    """Pack raw overlapping segments ([C, seg_len] rows, e.g. chunk_raw's
+    view) into the chunked kernel's [n_chunks*TC, BG] transposed layout;
+    returns (seg, BG, n_chunks)."""
+    seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
+    C0, width0 = seg_pad.shape
+    BG = max(_round_up(max(C0, 1), LANES), 2 * LANES)
+    n_chunks = max(-(-width0 // TC), 1)
+    seg = np.zeros((n_chunks * TC, BG), dtype=np.uint8)
+    seg[:width0, :C0] = seg_pad.T
+    return seg, BG, n_chunks

@@ -95,6 +95,17 @@ def suggest_own_len(needle_len: int, halo: int) -> int:
     return max(128, (seg_budget // 128) * 128)
 
 
+def myers_halo_budget(needle_len: int) -> int:
+    """Largest halo the single-strip subgroup kernel can absorb while its
+    owned segment keeps >= 128 chars — exactly suggest_own_len's ~8MB
+    budget solved for halo; beyond this the blocked / chunked engines
+    take over."""
+    plan = myers_search_plan(needle_len)
+    G = plan[2] if plan else 1
+    total_rows = 8 * 1024 * 1024 // (LANES * 4 * 2)
+    return max(total_rows // G // 2 - 16 - 128, 0)
+
+
 UNROLL = 4  # haystack chars per loop iteration (MXU/VPU overlap)
 
 
@@ -865,12 +876,18 @@ def collect_hits(
     own_len: int,
     limit_pos: int,
     num_needles: int = 1,
+    t_offset: int = 0,
 ):
     """Vectorized mapping of gathered candidate blocks to owned global hit
     positions — the whole dense regime runs as numpy array math, no
     per-position Python.  Returns (ni, gpos, d) int64 arrays sorted by
     (needle, end position): needle index, global end position, kernel
     distance, for every in-bounds owned position with distance <= k.
+
+    `t_offset` adapts the row->t mapping: 0 for the raw padded layouts
+    (row t holds D[t]) and 1 for the chunked search layout (row r holds
+    D[r+1]; D[0] is not emitted — callers append the end-0 candidate
+    when m <= k).
     """
     nb = rb.size
     blk = blocks[:nb]
@@ -884,6 +901,7 @@ def collect_hits(
     r = rb[bi_idx].astype(np.int64) * BLOCK + off_idx
     ni, rem = r // (G * OUT), r % (G * OUT)
     u, t = rem // OUT, rem % OUT
+    t = t + t_offset
     c = g * (G * LANES) + u * LANES + lane
     gpos = c * own_len - halo + t
     ok = (
