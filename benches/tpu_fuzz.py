@@ -194,6 +194,20 @@ for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS):
         if int(dists[i]) != ref[0] or traces[i] != ref[1]:
             bad += 1; print(f"TILEDTRACE {costs} i{i}: {dists[i]} vs {ref[0]}")
 print("tiled trace fuzz done")
-print(f"FUZZ TOTAL: {bad} mismatches")
 
+# 8. flat engine: long needle with AFFINE costs (the former scan path)
+m = 1400
+needle = rng.integers(65, 75, m).astype(np.uint8)
+hay = rng.integers(65, 75, 5000).astype(np.uint8)
+mut = needle.copy(); mut[rng.integers(0, m, 2)] = 65
+hay[1500:1500+m] = mut
+for costs in (EditCosts(2, 1, 1, None), EditCosts(1, 1, 0, 1)):
+    got = levenshtein_search_simd_with_opts(needle, hay, 6, SearchType.All,
+                                            costs, False)
+    exp = levenshtein_search_naive_with_opts(needle, hay, 6, SearchType.All,
+                                             costs, False)
+    if got != exp:
+        bad += 1; print(f"FLAT {costs}: {got[:3]} vs {exp[:3]}")
+print("flat affine long-needle fuzz done")
+print(f"FINAL FUZZ TOTAL: {bad} mismatches")
 sys.exit(1 if bad else 0)

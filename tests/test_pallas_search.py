@@ -339,3 +339,66 @@ def test_chunked_search_engine(damerau):
             assert got == ref, (st, damerau)
     finally:
         sm.myers_halo_budget, sm.blocked_seg_budget = saved
+
+
+def test_flat_engine_small_tiles():
+    """The flat row-oriented engine (general costs, unbounded needles)
+    vs the oracle with shrunken tiles (rj/ti are jit-static, so small
+    test tiles don't poison the default-size cache)."""
+    from triple_accel_tpu.levenshtein import _flat_search_dispatch
+    from triple_accel_tpu.ops.search_scan import window_span
+
+    rng = np.random.default_rng(55)
+    cases = [
+        (LEVENSHTEIN_COSTS, 9, 700, 2),
+        (RDAMERAU_COSTS, 12, 500, 3),
+        (EditCosts(2, 1, 1, None), 10, 800, 4),
+        (EditCosts(1, 2, 0, None), 8, 600, 3),  # mc < gc pad corner
+        (EditCosts(3, 2, 1, 3), 15, 900, 6),
+    ]
+    for costs, m, n, k in cases:
+        needle = rng.integers(0, 4, m).astype(np.uint8)
+        hay = rng.integers(0, 4, n).astype(np.uint8)
+        p = int(rng.integers(0, n - m))
+        hay[p : p + m] = needle
+        halo = min(window_span(m, k, costs.gap_cost, costs.start_gap_cost),
+                   n)
+        for st in (SearchType.All, SearchType.Best):
+            ref = levenshtein_search_naive_with_opts(
+                needle, hay, k, st, costs, False
+            )
+            got = _flat_search_dispatch(needle, hay, k, st, costs, n, halo,
+                                        rj=128, ti=32)
+            assert got == ref, (m, n, k, st, costs)
+
+
+def test_flat_engine_long_needle_routing():
+    """A 1200-char needle with affine costs routes to the flat engine
+    through the public API (the old path fell to lax.scan) and matches
+    the oracle."""
+    import triple_accel_tpu.ops.pallas.search_flat as sf
+    from triple_accel_tpu.dispatch import last_dispatch
+
+    saved = (sf.RJ, sf.TI)
+    sf.RJ, sf.TI = 128, 32  # static jit args — small tiles for interpret
+    try:
+        rng = np.random.default_rng(66)
+        m = 1200
+        costs = EditCosts(2, 1, 1, None)
+        needle = rng.integers(0, 6, m).astype(np.uint8)
+        hay = rng.integers(0, 6, 400).astype(np.uint8)
+        copy = needle[:350].copy()
+        copy[100] = (copy[100] + 1) % 6
+        hay[20:370] = copy
+        k = 3
+        ref = levenshtein_search_naive_with_opts(
+            needle, hay, k, SearchType.All, costs, False
+        )
+        with _forced("pallas"):
+            got = levenshtein_search_simd_with_opts(
+                needle, hay, k, SearchType.All, costs, False
+            )
+        assert last_dispatch().path == "flat_search"
+        assert got == ref
+    finally:
+        sf.RJ, sf.TI = saved

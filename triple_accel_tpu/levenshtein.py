@@ -962,6 +962,105 @@ def _postprocess_sparse(
     return [mt for mt in res if mt.k == curr_k]
 
 
+def _flat_search_dispatch(
+    needle: np.ndarray,
+    haystack: np.ndarray,
+    k: int,
+    search_type: SearchType,
+    costs: EditCosts,
+    iter_len: int,
+    halo: int,
+    rj: Optional[int] = None,
+    ti: Optional[int] = None,
+) -> List[Match]:
+    """Unanchored search through the FLAT row-oriented kernel
+    (ops/pallas/search_flat.py): needles of any length, any cost model,
+    lengths tracked on-device.  Two-phase hit fetch + sparse postprocess
+    like the Myers engines."""
+    import jax
+
+    from .ops.pallas.search_flat import flat_search_mins, prepare_flat_inputs
+    from .ops.pallas.search_myers import (
+        chunk_raw,
+        collect_hits,
+        myers_gather_blocks,
+    )
+    from .ops.search_scan import window_span
+
+    from .ops.pallas import search_flat as _sf
+
+    rj = rj or _sf.RJ
+    ti = ti or _sf.TI
+    m, n = len(needle), len(haystack)
+    halo = min(-(-halo // 256) * 256, iter_len)
+    own_len = min(round_up_pow2(iter_len, 128),
+                  max(4 * rj, round_up_pow2(halo, 128)))
+    segs, C0 = chunk_raw(haystack[:iter_len], halo, own_len)
+    DispatchDecision(
+        path="flat_search",
+        cost_bucket=select_cost_bucket(k if k < U32_MAX else U32_MAX),
+        unit_k=halo,
+        max_k=k,
+        padded_m=m,
+        padded_n=halo + own_len,
+    ).log("levenshtein_search_simd_with_opts")
+    seg_lead, nchar, nprev, _C, njc, nic = prepare_flat_inputs(
+        needle, segs, rj=rj, ti=ti
+    )
+    d_dev, l_dev, mins_d = flat_search_mins(
+        seg_lead, nchar, nprev,
+        needle_len=m, n_jchunks=njc, n_ichunks=nic,
+        costs_t=_costs_tuple(costs),
+        interpret=jax.default_backend() != "tpu",
+        rj=rj, ti=ti,
+    )
+    mins = np.asarray(mins_d)
+    rb, cols = np.nonzero(mins <= k)
+    ends = dd = ll = np.empty(0, dtype=np.int64)
+    if rb.size:
+        pad_n = round_up_pow2(rb.size, 8)
+        rb_p = np.empty(pad_n, np.int32)
+        cols_p = np.empty(pad_n, np.int32)
+        rb_p[: rb.size], rb_p[rb.size :] = rb, rb[-1]
+        cols_p[: cols.size], cols_p[cols.size :] = cols, cols[-1]
+        dblk = np.asarray(myers_gather_blocks(d_dev, rb_p, cols_p))
+        lblk = np.asarray(myers_gather_blocks(l_dev, rb_p, cols_p))
+        _, ends, dd, ll = collect_hits(
+            dblk, rb, cols, k,
+            OUT=njc * rj, G=1, C=C0, halo=halo, own_len=own_len,
+            limit_pos=iter_len, t_offset=1, lblocks=lblk,
+        )
+    # chunk-0 front-pad artifacts: positions <= halo can see the
+    # synthetic zero pad — for general costs even non-NUL needles can be
+    # deflated (a pad substitution at mc < gc beats the honest deletion),
+    # so oracle-replay EVERY hit there (both d and l); artifacts drop.
+    # (The empty-prefix candidate at global end 0 rides this path too:
+    # the kernel's value at t == halo is <= the true cost, so the hit is
+    # always reported and the replay restores the exact (d0, 0).)
+    if ends.size:
+        fix = np.flatnonzero(ends <= halo)
+        if fix.size:
+            span = min(window_span(m, k, costs.gap_cost,
+                                   costs.start_gap_cost), n)
+            resolved = _resolve_hits_batch(needle, haystack, ends[fix], k,
+                                           costs, span)
+            by_end = {p: (d_, l_) for p, d_, l_ in resolved}
+            keep = np.ones(ends.size, dtype=bool)
+            for fi in fix:
+                got = by_end.get(int(ends[fi]))
+                if got is None:
+                    keep[fi] = False
+                else:
+                    dd[fi], ll[fi] = got
+            ends, dd, ll = ends[keep], dd[keep], ll[keep]
+    if search_type == SearchType.Best and ends.size:
+        at_min = dd == dd.min()
+        ends, dd, ll = ends[at_min], dd[at_min], ll[at_min]
+    return _postprocess_sparse(
+        list(zip(ends.tolist(), dd.tolist(), ll.tolist())), k, search_type
+    )
+
+
 def levenshtein_search_simd_with_opts(
     needle: BytesLike,
     haystack: BytesLike,
@@ -1199,6 +1298,15 @@ def levenshtein_search_simd_with_opts(
     rows_budget = 11_000_000 // (128 * 4)
     max_seg = (rows_budget - 15 * mP8 - 4 * m) // 6
     if use_pallas and max_seg < halo + 128:
+        # the diagonal kernel's needle-axis scratch rings can't fit:
+        # unanchored searches switch to the FLAT row-oriented kernel
+        # (haystack positions on sublanes, needle streamed from HBM —
+        # unbounded needle length for ANY cost model); anchored runs as
+        # one unchunkable segment and keeps the scan fallback
+        if not anchored:
+            return _flat_search_dispatch(
+                needle, haystack, k, search_type, costs, iter_len, halo
+            )
         use_pallas = False
     # longer segments amortize halo overlap and host-side prep; the VMEM
     # shrink below 4096 only applies when the Pallas kernel actually runs

@@ -1,0 +1,426 @@
+"""Pallas/Mosaic TPU kernel: row-oriented general-cost search wavefront.
+
+The diagonal kernel (search_kernel.py) holds the whole needle axis in
+VMEM scratch rings, capping needles at ~1100 chars.  This kernel flips
+the layout: haystack positions ride the SUBLANE axis ([RJ, 128] tiles,
+one segment per lane) and the needle axis is the sequential loop — the
+needle streams from HBM TI rows per grid step and is unbounded, for ANY
+cost model.  It is the general-cost analog of the chunked Myers engines
+and replaces the lax.scan fallback for long affine-cost needles
+(reference: the Vec-backed search Jewels,
+/root/reference/src/levenshtein.rs:2033-2151, jewel.rs:472-506).
+
+Recurrence (cell-exact with oracle/levenshtein.py:432-504; axes
+transposed — i = needle row, j = haystack position):
+
+  horizontal (consume haystack; the oracle's needle_gap): one contiguous
+    run within row i, resolved as an EXCLUSIVE affine-chain prefix scan
+    over the row's non-horizontal candidate values with the (min cost,
+    max length) tie combine — chain-from-non-horizontal is cost-exact (a
+    run extended from a horizontal-valued cell equals the longer run
+    from its origin) and length-exact (the oracle's stepwise tie takes
+    the max, which the scan's max-combine reproduces)
+  vertical (consume needle; the oracle's haystack_gap): elementwise
+    affine chain from row i-1
+  substitution: row i-1 shifted one position
+  transposition: row i-2 shifted two positions, taken on <= (including
+    the final-cascade quirk: it replaces equal-cost candidates even with
+    a shorter length)
+
+Column chunks (RJ positions) run as separate launches inside one jitted
+wrapper; the per-needle-row edge state (D/length at the chunk's last
+and second-to-last columns plus the open horizontal chain — six
+[mP, C] arrays indexed by needle row - 1) flows between launches
+through HBM, blocked TI rows per grid step.  Row m's (distance, length)
+tiles are the only other output.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..band_scan import INF
+
+__all__ = [
+    "flat_search",
+    "flat_search_mins",
+    "prepare_flat_inputs",
+    "RJ",
+    "TI",
+    "LANES",
+]
+
+LANES = 128
+RJ = 1024  # haystack positions per column chunk (one launch each)
+TI = 256  # needle rows per grid step (edge arrays streamed at this tile)
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def _make_flat_kernel(costs_t, emit_row: int, rj: int, ti: int):
+    mc, gc, sgc, tc, allow_transpose = costs_t
+    inf = int(INF)
+    RJ, TI = rj, ti  # shadow the module defaults (jit-static per call)
+
+    def kernel(seg_ref, nchar_ref, nprev_ref,
+               einD_ref, einL_ref, einD2_ref, einL2_ref, einNG_ref,
+               einNGL_ref,
+               eoutD_ref, eoutL_ref, eoutD2_ref, eoutL2_ref, eoutNG_ref,
+               eoutNGL_ref, outd_ref, outl_ref,
+               dprev_s, lprev_s, dprev2_s, lprev2_s, vg_s, vgl_s,
+               cross_s):
+        # seg_ref:   [RJ+8, LANES] chars hay[j_first-2 ..] (2-row lead)
+        # nchar/nprev: [TI, LANES] needle[i-1] / needle[i-2] rows
+        # ein*/eout*: [TI, LANES] edge state; array row q holds needle
+        #             row q+1's edges, so step r both reads (the chain
+        #             seed, needle row i = ci*TI+r+1) and writes row r
+        # outd/outl: [RJ, LANES] row-emit_row distances / lengths
+        # scratch: [RJ, LANES] row state persisting across needle chunks
+        #          + cross_s [8, LANES]: the (i-1)/(i-2) edge rows
+        #          carried over the needle-chunk boundary
+        ci = pl.program_id(1)
+        jrow = lax.broadcasted_iota(jnp.int32, (RJ, LANES), 0)
+        inf_t = jnp.full((RJ, LANES), inf, jnp.int32)
+        zero_t = jnp.zeros((RJ, LANES), jnp.int32)
+        inf_r = jnp.full((1, LANES), inf, jnp.int32)
+        zero_r = jnp.zeros((1, LANES), jnp.int32)
+        hj1 = seg_ref[2 : RJ + 2, :]  # hay[j - 1]
+        hj2 = seg_ref[1 : RJ + 1, :]  # hay[j - 2]
+
+        @pl.when(ci == 0)
+        def _init():
+            # needle row 0: D[0][j] = 0 (unanchored); no open chains.
+            # cross rows 0-3: edges(row 0) = zeros (D[0][*] = 0);
+            # rows 4-7: edges(row -1) = (INF, 0, INF, 0)
+            dprev_s[...] = zero_t
+            lprev_s[...] = zero_t
+            dprev2_s[...] = inf_t
+            lprev2_s[...] = zero_t
+            vg_s[...] = inf_t
+            vgl_s[...] = zero_t
+            cross = jnp.concatenate(
+                [zero_r, zero_r, zero_r, zero_r,
+                 inf_r, zero_r, inf_r, zero_r], axis=0,
+            )
+            cross_s[...] = cross
+
+        def shift1(x, fill_row):
+            rolled = pltpu.roll(x, shift=1, axis=0)
+            return jnp.where(jrow == 0, fill_row, rolled)
+
+        def sat(x):
+            return jnp.minimum(x, inf)
+
+        def step(r, carry):
+            (dprev, lprev, dprev2, lprev2, vg, vgl,
+             e1D, e1L, e1D2, e1L2, e2D, e2L, e2D2, e2L2) = carry
+            # e1 = edges(i-1), e2 = edges(i-2): the previous chunk's
+            # last / second-to-last column values of those needle rows
+            nch = nchar_ref[pl.ds(r, 1), :]
+            npv = nprev_ref[pl.ds(r, 1), :]
+            # this row's own edges (array row q = i-1 = block row r)
+            eD = einD_ref[pl.ds(r, 1), :]
+            eL = einL_ref[pl.ds(r, 1), :]
+            eD2 = einD2_ref[pl.ds(r, 1), :]
+            eL2 = einL2_ref[pl.ds(r, 1), :]
+            eNG = einNG_ref[pl.ds(r, 1), :]
+            eNGL = einNGL_ref[pl.ds(r, 1), :]
+
+            # substitution: (i-1, j-1)
+            sub = sat(shift1(dprev, e1D) + jnp.where(hj1 == nch, 0, mc))
+            lsub = shift1(lprev, e1L) + 1
+
+            # vertical affine chain (consume needle)
+            new_v = sat(dprev + (sgc + gc))
+            cont_v = sat(vg + gc)
+            vg2 = jnp.minimum(new_v, cont_v)
+            vgl2 = jnp.where(
+                new_v < cont_v, lprev,
+                jnp.where(new_v > cont_v, vgl, jnp.maximum(lprev, vgl)),
+            )
+
+            # transposition: (i-2, j-2)
+            if allow_transpose:
+                d2s = shift1(shift1(dprev2, e2D), e2D2)
+                l2s = shift1(shift1(lprev2, e2L), e2L2)
+                tcond = (hj2 == nch) & (hj1 == npv)
+                trans = jnp.where(tcond, sat(d2s + tc), inf)
+            else:
+                trans = inf_t
+                tcond = None
+                l2s = zero_t
+
+            # chain origins: non-horizontal cascade in the oracle's
+            # relative order (vertical, sub on ==&longer, trans on <=)
+            nonh = vg2
+            nonl = vgl2
+            take_s = (sub < nonh) | ((sub == nonh) & (lsub > nonl))
+            nonh = jnp.where(take_s, sub, nonh)
+            nonl = jnp.where(take_s, lsub, nonl)
+            if allow_transpose:
+                take_t = tcond & (trans <= nonh)
+                nonh = jnp.where(take_t, trans, nonh)
+                nonl = jnp.where(take_t, l2s + 2, nonl)
+
+            # EXCLUSIVE within-chunk chain: min over j' < j of
+            # nonh[j'] + sgc + (j-j')*gc, ties keep the longest.
+            # Slope-adjusted inclusive prefix combine, then shift by one.
+            g = sat(nonh - jrow * gc)
+            a = nonl - jrow
+            off = 1
+            while off < RJ:
+                gs = pltpu.roll(g, shift=off, axis=0)
+                as_ = pltpu.roll(a, shift=off, axis=0)
+                gs = jnp.where(jrow >= off, gs, inf)
+                as_ = jnp.where(jrow >= off, as_, 0)
+                take = (gs < g) | ((gs == g) & (as_ > a))
+                g = jnp.where(take, gs, g)
+                a = jnp.where(take, as_, a)
+                off <<= 1
+            g = shift1(g, inf_r)
+            a = shift1(a, zero_r)
+            chainc = sat(g + sgc + jrow * gc)
+            chainl = a + jrow
+            # cross-chunk seed: continue the open chain or open a fresh
+            # gap from the edge D — both complete chain values at the
+            # previous chunk's last column, costing +(jrow+1)*gc here
+            seed_new = sat(eD + sgc)
+            seedc = jnp.minimum(eNG, seed_new)
+            seedl = jnp.where(
+                seed_new < eNG, eL,
+                jnp.where(seed_new > eNG, eNGL, jnp.maximum(eL, eNGL)),
+            )
+            sc = sat(seedc + (jrow + 1) * gc)
+            sl = seedl + (jrow + 1)
+            take = (sc < chainc) | ((sc == chainc) & (sl > chainl))
+            chainc = jnp.where(take, sc, chainc)
+            chainl = jnp.where(take, sl, chainl)
+
+            # final cascade, oracle order (oracle/levenshtein.py:468-491):
+            # horizontal default; vertical replaces on < or (== and the
+            # length of D[i-1][j] longer); sub on < or ==&longer;
+            # transposition on <=
+            d = chainc
+            ln = chainl
+            take_v = (vg2 < d) | ((vg2 == d) & (lprev > ln))
+            d = jnp.where(take_v, vg2, d)
+            ln = jnp.where(take_v, vgl2, ln)
+            take_s2 = (sub < d) | ((sub == d) & (lsub > ln))
+            d = jnp.where(take_s2, sub, d)
+            ln = jnp.where(take_s2, lsub, ln)
+            if allow_transpose:
+                take_t2 = tcond & (trans <= d)
+                d = jnp.where(take_t2, trans, d)
+                ln = jnp.where(take_t2, l2s + 2, ln)
+            d = sat(d)
+
+            last = RJ - 1
+            eoutD_ref[pl.ds(r, 1), :] = d[last : last + 1, :]
+            eoutL_ref[pl.ds(r, 1), :] = ln[last : last + 1, :]
+            eoutD2_ref[pl.ds(r, 1), :] = d[last - 1 : last, :]
+            eoutL2_ref[pl.ds(r, 1), :] = ln[last - 1 : last, :]
+            eoutNG_ref[pl.ds(r, 1), :] = chainc[last : last + 1, :]
+            eoutNGL_ref[pl.ds(r, 1), :] = chainl[last : last + 1, :]
+
+            i_glob = ci * TI + r + 1
+
+            @pl.when(i_glob == emit_row)
+            def _():
+                outd_ref[...] = d
+                outl_ref[...] = ln
+
+            # promote edge carries: e1 <- edges(i), e2 <- old e1
+            return (d, ln, dprev, lprev, vg2, vgl2,
+                    eD, eL, eD2, eL2, e1D, e1L, e1D2, e1L2)
+
+        cross = cross_s[...]
+        carry0 = (
+            dprev_s[...], lprev_s[...], dprev2_s[...], lprev2_s[...],
+            vg_s[...], vgl_s[...],
+            cross[0:1, :], cross[1:2, :], cross[2:3, :], cross[3:4, :],
+            cross[4:5, :], cross[5:6, :], cross[6:7, :], cross[7:8, :],
+        )
+        out = lax.fori_loop(0, TI, step, carry0)
+        dprev_s[...] = out[0]
+        lprev_s[...] = out[1]
+        dprev2_s[...] = out[2]
+        lprev2_s[...] = out[3]
+        vg_s[...] = out[4]
+        vgl_s[...] = out[5]
+        cross_s[...] = jnp.concatenate(list(out[6:14]), axis=0)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("needle_len", "n_jchunks", "n_ichunks", "costs_t",
+                     "interpret", "rj", "ti"),
+)
+def flat_search(
+    seg_lead: jnp.ndarray,  # [2 + n_jchunks*RJ + 8, C] uint8/int32 chars
+    #                         with a 2-row lead (chars at row q+2)
+    nchar: jnp.ndarray,  # [n_ichunks*TI, C-broadcastable? see prepare]
+    nprev: jnp.ndarray,
+    *,
+    needle_len: int,
+    n_jchunks: int,
+    n_ichunks: int,
+    costs_t,
+    interpret: bool = False,
+    rj: int = RJ,
+    ti: int = TI,
+):
+    """Per-end-position (distance, length) rows D[m][j] / L[m][j] for a
+    batch of C segments, any needle length and any cost model.  Returns
+    (d, l): [n_jchunks*rj, C] int32, row q holding position j = q + 1
+    (the j = 0 boundary column is virtual; the chunk-0 replay in the
+    dispatcher restores the end-0 candidate).  rj/ti override the column
+    / needle-row tile sizes (tests shrink them)."""
+    RJ, TI = rj, ti
+    m = needle_len
+    C = seg_lead.shape[1]
+    assert C % LANES == 0
+    assert seg_lead.shape[0] == 2 + n_jchunks * RJ + 8
+    assert nchar.shape[0] == n_ichunks * TI
+    seg_lead = seg_lead.astype(jnp.int32)
+    nchar = nchar.astype(jnp.int32)
+    nprev = nprev.astype(jnp.int32)
+    inf = int(INF)
+
+    kernel = _make_flat_kernel(costs_t, m, RJ, TI)
+    grid = (C // LANES, n_ichunks)
+    ti_spec = pl.BlockSpec((TI, LANES), lambda g, c: (c, g),
+                           memory_space=pltpu.VMEM)
+    # the needle rows are lane-replicated [mP, 128]: same block every g
+    nd_spec = pl.BlockSpec((TI, LANES), lambda g, c: (c, 0),
+                           memory_space=pltpu.VMEM)
+    rj_spec = pl.BlockSpec((RJ, LANES), lambda g, c: (0, g),
+                           memory_space=pltpu.VMEM)
+
+    mP = n_ichunks * TI
+    # launch-0 edge prefill = the j = 0 boundary column: D[i][0] = i*gc
+    # (+ sgc past row 0); no column -1, no open chain
+    q = jnp.arange(mP, dtype=jnp.int32)[:, None]
+    boundary = jnp.minimum((q + 1) * gc_of(costs_t) + sgc_of(costs_t), inf)
+    einD = jnp.broadcast_to(boundary, (mP, C))
+    zeros = jnp.zeros((mP, C), jnp.int32)
+    infs = jnp.full((mP, C), inf, jnp.int32)
+    einL = zeros
+    einD2 = infs
+    einL2 = zeros
+    einNG = infs
+    einNGL = zeros
+
+    d_out = l_out = None
+    d_parts = []
+    l_parts = []
+    for cj in range(n_jchunks):
+        seg_c = lax.slice(seg_lead, (cj * RJ, 0),
+                          (cj * RJ + RJ + 8, C))
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((RJ + 8, LANES), lambda g, c: (0, g),
+                             memory_space=pltpu.VMEM),
+                nd_spec,  # nchar
+                nd_spec,  # nprev
+                ti_spec, ti_spec, ti_spec, ti_spec, ti_spec, ti_spec,
+            ],
+            out_specs=(
+                ti_spec, ti_spec, ti_spec, ti_spec, ti_spec, ti_spec,
+                rj_spec, rj_spec,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((mP, C), jnp.int32),  # eoutD
+                jax.ShapeDtypeStruct((mP, C), jnp.int32),
+                jax.ShapeDtypeStruct((mP, C), jnp.int32),
+                jax.ShapeDtypeStruct((mP, C), jnp.int32),
+                jax.ShapeDtypeStruct((mP, C), jnp.int32),
+                jax.ShapeDtypeStruct((mP, C), jnp.int32),
+                jax.ShapeDtypeStruct((RJ, C), jnp.int32),  # outd
+                jax.ShapeDtypeStruct((RJ, C), jnp.int32),  # outl
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((RJ, LANES), jnp.int32),  # dprev
+                pltpu.VMEM((RJ, LANES), jnp.int32),  # lprev
+                pltpu.VMEM((RJ, LANES), jnp.int32),  # dprev2
+                pltpu.VMEM((RJ, LANES), jnp.int32),  # lprev2
+                pltpu.VMEM((RJ, LANES), jnp.int32),  # vg
+                pltpu.VMEM((RJ, LANES), jnp.int32),  # vgl
+                pltpu.VMEM((8, LANES), jnp.int32),  # cross rows
+            ],
+            interpret=interpret,
+        )(seg_c, nchar, nprev, einD, einL, einD2, einL2, einNG, einNGL)
+        (einD, einL, einD2, einL2, einNG, einNGL, d_out, l_out) = outs
+        d_parts.append(d_out)
+        l_parts.append(l_out)
+    return (jnp.concatenate(d_parts, axis=0),
+            jnp.concatenate(l_parts, axis=0))
+
+
+def gc_of(costs_t):
+    return costs_t[1]
+
+
+def sgc_of(costs_t):
+    return costs_t[2]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("needle_len", "n_jchunks", "n_ichunks", "costs_t",
+                     "interpret", "rj", "ti"),
+)
+def flat_search_mins(
+    seg_lead, nchar, nprev, *, needle_len, n_jchunks, n_ichunks, costs_t,
+    interpret=False, rj=RJ, ti=TI,
+):
+    """Two-phase hit fetch over the flat kernel (phase 1): returns
+    (d, l, per-BLOCK row minima of d) — myers_search_block_mins' layout
+    with G = 1 and the row q = position q+1 shift."""
+    from .search_myers import BLOCK
+
+    d, l = flat_search(
+        seg_lead, nchar, nprev, needle_len=needle_len,
+        n_jchunks=n_jchunks, n_ichunks=n_ichunks, costs_t=costs_t,
+        interpret=interpret, rj=rj, ti=ti,
+    )
+    R = d.shape[0]
+    pad = (-R) % BLOCK
+    dp = jnp.pad(d, ((0, pad), (0, 0)), constant_values=int(INF))
+    mins = jnp.min(dp.reshape(-1, BLOCK, d.shape[1]), axis=1)
+    return d, l, mins
+
+
+def prepare_flat_inputs(needle: np.ndarray, seg_pad: np.ndarray,
+                        rj: int = RJ, ti: int = TI):
+    """Pack raw overlapping segments ([C0, seg_len] rows, chunk_raw's
+    view) and the needle for flat_search; returns
+    (seg_lead, nchar, nprev, C, n_jchunks, n_ichunks)."""
+    RJ, TI = rj, ti
+    m = len(needle)
+    seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
+    C0, width0 = seg_pad.shape
+    C = max(_round_up(max(C0, 1), LANES), 2 * LANES)
+    n_jchunks = max(-(-width0 // RJ), 1)
+    seg_lead = np.zeros((2 + n_jchunks * RJ + 8, C), dtype=np.uint8)
+    seg_lead[2 : 2 + width0, :C0] = seg_pad.T
+
+    n_ichunks = max(-(-m // TI), 1)
+    mP = n_ichunks * TI
+    npad = np.full(mP + 2, -1, dtype=np.int32)
+    npad[2 : 2 + m] = np.asarray(needle, dtype=np.int32)
+    nchar = np.repeat(npad[2 : 2 + mP, None], LANES, axis=1)
+    nprev = np.repeat(npad[1 : 1 + mP, None], LANES, axis=1)
+    return seg_lead, nchar, nprev, C, n_jchunks, n_ichunks

@@ -877,6 +877,7 @@ def collect_hits(
     limit_pos: int,
     num_needles: int = 1,
     t_offset: int = 0,
+    lblocks=None,
 ):
     """Vectorized mapping of gathered candidate blocks to owned global hit
     positions — the whole dense regime runs as numpy array math, no
@@ -885,17 +886,24 @@ def collect_hits(
     distance, for every in-bounds owned position with distance <= k.
 
     `t_offset` adapts the row->t mapping: 0 for the raw padded layouts
-    (row t holds D[t]) and 1 for the chunked search layout (row r holds
+    (row t holds D[t]) and 1 for the chunked/flat layouts (row r holds
     D[r+1]; D[0] is not emitted — callers append the end-0 candidate
-    when m <= k).
+    when m <= k).  With `lblocks` (the matching gathered length blocks,
+    engines whose DP tracks lengths inline), a fourth array of lengths
+    is returned.
     """
     nb = rb.size
     blk = blocks[:nb]
     bi_idx, off_idx = np.nonzero(blk <= k)
     if bi_idx.size == 0:
         z = np.empty(0, dtype=np.int64)
+        if lblocks is not None:
+            return z, z.copy(), z.copy(), z.copy()
         return z, z.copy(), z.copy()
     d = blk[bi_idx, off_idx].astype(np.int64)
+    lv = None
+    if lblocks is not None:
+        lv = lblocks[:nb][bi_idx, off_idx].astype(np.int64)
     col = cols[bi_idx].astype(np.int64)
     g, lane = col // LANES, col % LANES
     r = rb[bi_idx].astype(np.int64) * BLOCK + off_idx
@@ -914,4 +922,7 @@ def collect_hits(
     )
     ni, gpos, d = ni[ok], gpos[ok], d[ok]
     order = np.lexsort((gpos, ni))
+    if lv is not None:
+        lv = lv[ok]
+        return ni[order], gpos[order], d[order], lv[order]
     return ni[order], gpos[order], d[order]
