@@ -209,5 +209,26 @@ for costs in (EditCosts(2, 1, 1, None), EditCosts(1, 1, 0, 1)):
     if got != exp:
         bad += 1; print(f"FLAT {costs}: {got[:3]} vs {exp[:3]}")
 print("flat affine long-needle fuzz done")
+
+# 9. anchored Myers engines (round 3): one anchored segment through the
+# subgroup / blocked / chunked kernels, incl. k >= m (end-0 candidate)
+for m, k, n, costs in [
+    (24, 30, 400, LEVENSHTEIN_COSTS),          # subgroup, k >= m
+    (24, 10, 400, RDAMERAU_COSTS),             # subgroup rdamerau
+    (1500, 400, 3000, LEVENSHTEIN_COSTS),      # blocked
+    (2000, 2100, 4200, LEVENSHTEIN_COSTS),     # chunked, k >= m
+]:
+    needle = rng.integers(65, 70, m).astype(np.uint8)
+    hay = rng.integers(65, 70, n).astype(np.uint8)
+    hay[:m] = needle
+    hay[rng.integers(0, m, 3)] = 65
+    for st in (SearchType.All, SearchType.Best):
+        got = levenshtein_search_simd_with_opts(needle, hay, k, st, costs,
+                                                True)
+        exp = levenshtein_search_naive_with_opts(needle, hay, k, st, costs,
+                                                 True)
+        if got != exp:
+            bad += 1; print(f"ANCHORED m={m} k={k} {st}: {got[:3]} vs {exp[:3]}")
+print("anchored myers fuzz done")
 print(f"FINAL FUZZ TOTAL: {bad} mismatches")
 sys.exit(1 if bad else 0)

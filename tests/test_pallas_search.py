@@ -227,6 +227,57 @@ def test_rdamerau_myers_search():
         assert got == ref, needle
 
 
+def test_anchored_myers_dispatch():
+    """Anchored unit/rdamerau searches route through the Myers engines as
+    a single anchored segment (VERDICT r2 item 6): dispatch log proves the
+    kernel path ran, results match the oracle — including k >= m (the
+    end-0 empty-prefix candidate), NUL needle bytes, and all three
+    engines (subgroup / blocked / chunked)."""
+    from triple_accel_tpu.dispatch import dispatch_history
+
+    rng = np.random.default_rng(53)
+    cases = [
+        # (m, k, n, costs, prefix) -> expected path prefix
+        (12, 6, 300, LEVENSHTEIN_COSTS, "myers_search"),
+        (12, 15, 300, LEVENSHTEIN_COSTS, "myers_search"),  # k >= m: end-0
+        (12, 6, 300, RDAMERAU_COSTS, "myers_search_rdamerau"),
+        (1500, 400, 3000, LEVENSHTEIN_COSTS, "myers_search_blocked"),
+        (2000, 2100, 4200, LEVENSHTEIN_COSTS, "myers_search_chunked"),
+    ]
+    for m, k, n, costs, path in cases:
+        needle = rng.integers(0, 4, m).astype(np.uint8)
+        hay = rng.integers(0, 4, n).astype(np.uint8)
+        L = min(m, n)
+        hay[:L] = needle[:L]
+        for _ in range(min(4, k)):
+            hay[rng.integers(0, L)] = rng.integers(0, 4)
+        for st in (SearchType.All, SearchType.Best):
+            ref = levenshtein_search_naive_with_opts(
+                needle, hay, k, st, costs, True
+            )
+            dispatch_history(clear=True)
+            with _forced("pallas"):
+                got = levenshtein_search_simd_with_opts(
+                    needle, hay, k, st, costs, True
+                )
+            paths = [d.path for _, d in dispatch_history()]
+            assert paths == [path], (m, k, st, paths)
+            assert got == ref, (m, k, n, st)
+    # NUL bytes in needle and haystack stay exact (no front pad exists in
+    # the anchored segment, so no artifact correction is involved)
+    needle = np.array([0, 65, 0, 66, 0], dtype=np.uint8)
+    hay = np.array([0, 65, 0, 67, 0, 0, 65] * 10, dtype=np.uint8)
+    for st in (SearchType.All, SearchType.Best):
+        ref = levenshtein_search_naive_with_opts(
+            needle, hay, 3, st, LEVENSHTEIN_COSTS, True
+        )
+        with _forced("pallas"):
+            got = levenshtein_search_simd_with_opts(
+                needle, hay, 3, st, LEVENSHTEIN_COSTS, True
+            )
+        assert got == ref, st
+
+
 def _oracle_end_dists(needle, hay, costs, anchored):
     """Per-end-position min search distance via the oracle (k = m covers
     every end: deleting the whole needle always costs <= m)."""

@@ -896,8 +896,14 @@ def _resolve_hits_batch(
         ends = np.asarray(e_l, dtype=np.int64)
         ks = np.asarray(k_l, dtype=np.int64)
         lens = np.asarray(l_l, dtype=np.int64)
-    # candidates from disjoint ascending intervals have strictly ascending
-    # (unique) ends; select the requested hit positions only
+    return _select_hit_candidates(ends, ks, lens, gpos)
+
+
+def _select_hit_candidates(
+    ends: np.ndarray, ks: np.ndarray, lens: np.ndarray, gpos: np.ndarray
+) -> List[Tuple[int, int, int]]:
+    """Keep only the replay candidates at the requested (unique, ascending)
+    hit end positions; replay candidates have unique ascending ends."""
     if ends.size == 0:
         return []
     idx = np.searchsorted(ends, gpos)
@@ -906,6 +912,39 @@ def _resolve_hits_batch(
     sel = idx_c[hit]
     return list(zip(gpos[hit].tolist(), ks[sel].tolist(),
                     lens[sel].tolist()))
+
+
+def _resolve_hits_anchored(
+    needle: np.ndarray,
+    haystack: np.ndarray,
+    gpos: np.ndarray,
+    k: int,
+    costs: EditCosts,
+) -> List[Tuple[int, int, int]]:
+    """Resolve ANCHORED kernel hits into (end, dist, length) candidates.
+
+    The anchored DP's row-0 boundary is the absolute haystack prefix cost
+    (i+1)*gap + start_gap, so windowed replays don't apply — instead one
+    All-mode anchored replay over the haystack recovers every candidate
+    (the C++ port caps its own iteration at needle_len + (k - start_gap) /
+    gap columns, native/scalar_baseline.cpp search_all_one, mirroring
+    reference levenshtein.rs:1650-1661)."""
+    from .utils.native import search_all_native
+
+    if gpos.size == 0:
+        return []
+    gpos = np.asarray(gpos, dtype=np.int64)
+    native = search_all_native(needle, haystack, k, costs, anchored=True)
+    if native is not None:
+        ends, ks, lens = native
+    else:
+        mts = levenshtein_search_naive_with_opts(
+            needle, haystack, k, SearchType.All, costs, True
+        )
+        ends = np.asarray([mt.end for mt in mts], dtype=np.int64)
+        ks = np.asarray([mt.k for mt in mts], dtype=np.int64)
+        lens = np.asarray([mt.end - mt.start for mt in mts], dtype=np.int64)
+    return _select_hit_candidates(ends, ks, lens, gpos)
 
 
 def _resolve_cells(gpos: np.ndarray, span: int, m: int) -> int:
@@ -1119,28 +1158,44 @@ def levenshtein_search_simd_with_opts(
         blocked_seg_budget,
         myers_halo_budget,
         myers_search_plan,
+        suggest_own_len,
     )
 
     damerau = _costs_tuple(costs) == (1, 1, 0, 1, True)
     engine = None
+    anchored_seg = 0
     if (
         use_pallas
         and forced_path() != "pallas_band"
-        and not anchored
         and (_costs_tuple(costs) == (1, 1, 0, 0, False) or damerau)
         and iter_len > 0
     ):
-        # quantize the halo so seg_len (a static kernel shape) doesn't
-        # recompile for every distinct (m, k): a larger overlap is still
-        # exact — every cost-<=k candidate's window is contained a fortiori
-        halo = min(-(-halo // 256) * 256, iter_len)
         msplan = myers_search_plan(m)
-        if msplan is not None and halo <= myers_halo_budget(m):
-            engine = "subgroup"
-        elif halo + 128 <= blocked_seg_budget():
-            engine = "blocked"
+        if anchored:
+            # anchored searches run as ONE segment starting at the anchor
+            # (halo = 0; chunk boundaries would break the absolute row-0
+            # cost D[0][j] = j) — iter_len is capped at m + k columns so a
+            # single segment always exists, and the chunked engine tiles
+            # it when it outgrows the single-launch VMEM budgets
+            anchored_seg = -(-max(iter_len, 1) // 128) * 128
+            if msplan is not None and anchored_seg <= suggest_own_len(m, 0):
+                engine = "subgroup"
+            elif anchored_seg <= blocked_seg_budget():
+                engine = "blocked"
+            else:
+                engine = "chunked"
         else:
-            engine = "chunked"
+            # quantize the halo so seg_len (a static kernel shape) doesn't
+            # recompile for every distinct (m, k): a larger overlap is
+            # still exact — every cost-<=k candidate's window is contained
+            # a fortiori
+            halo = min(-(-halo // 256) * 256, iter_len)
+            if msplan is not None and halo <= myers_halo_budget(m):
+                engine = "subgroup"
+            elif halo + 128 <= blocked_seg_budget():
+                engine = "blocked"
+            else:
+                engine = "chunked"
     if engine is not None:
         import jax
 
@@ -1156,7 +1211,9 @@ def levenshtein_search_simd_with_opts(
         )
 
         interpret = jax.default_backend() != "tpu"
-        if engine == "subgroup":
+        if anchored:
+            own_len = anchored_seg  # one segment spanning the whole window
+        elif engine == "subgroup":
             own_len = min(suggest_own_len(m, halo),
                           round_up_pow2(iter_len, 128))
         elif engine == "blocked":
@@ -1194,7 +1251,7 @@ def levenshtein_search_simd_with_opts(
                 needle_len=m,
                 width=width,
                 seg_len=seg_len,
-                anchored=False,
+                anchored=anchored,
                 interpret=interpret,
                 damerau=damerau,
             )
@@ -1210,7 +1267,7 @@ def levenshtein_search_simd_with_opts(
                 needle_len=m,
                 width=width,
                 seg_len=seg_len,
-                anchored=False,
+                anchored=anchored,
                 interpret=interpret,
                 damerau=damerau,
             )
@@ -1233,7 +1290,7 @@ def levenshtein_search_simd_with_opts(
                 needle_len=m,
                 n_strips=n_strips,
                 n_chunks=n_chunks,
-                anchored=False,
+                anchored=anchored,
                 damerau=damerau,
                 interpret=interpret,
             )
@@ -1263,9 +1320,13 @@ def levenshtein_search_simd_with_opts(
         span = min(
             window_span(m, k, costs.gap_cost, costs.start_gap_cost), n
         )
-        gpos, d_arr = _correct_chunk0_nul_hits(
-            needle, haystack, gpos, d_arr, halo, k, costs, span
-        )
+        if not anchored:
+            # anchored segments have no synthetic front pad (the segment
+            # starts at the anchor itself), so kernel distances are exact
+            # as-is and the NUL-pad correction does not apply
+            gpos, d_arr = _correct_chunk0_nul_hits(
+                needle, haystack, gpos, d_arr, halo, k, costs, span
+            )
 
         if search_type == SearchType.Best and gpos.size:
             # Best-mode result can only contain candidates at the global
@@ -1275,6 +1336,23 @@ def levenshtein_search_simd_with_opts(
             kmin = int(d_arr.min())
             at_min = d_arr == kmin
             gpos, d_arr = gpos[at_min], d_arr[at_min]
+        if anchored:
+            # the chunked layout's row r holds D[r+1] (t_offset=1), so the
+            # end-0 empty-prefix candidate (D[m][0] = m, oracle pre-loop
+            # emission) never appears in its rows when halo == 0 — append
+            # it host-side; the replay below restores its exact (d, 0)
+            if t_off == 1 and m <= k and (gpos.size == 0 or gpos[0] != 0):
+                gpos = np.concatenate(([0], gpos))
+                d_arr = np.concatenate(([m], d_arr))
+                if search_type == SearchType.Best and m > (
+                    d_arr.min() if d_arr.size > 1 else m
+                ):
+                    gpos, d_arr = gpos[1:], d_arr[1:]  # keep kmin invariant
+            # one anchored All-mode replay recovers every hit's length; it
+            # costs the same O(m * iter_len) DP work the scan path would
+            # spend on the whole anchored search, so no budget applies
+            cands = _resolve_hits_anchored(needle, haystack, gpos, k, costs)
+            return _postprocess_sparse(cands, k, search_type)
         budget = _RESOLVE_CELLS_BUDGET
         from .utils.native import native_available
 
