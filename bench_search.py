@@ -59,7 +59,7 @@ def main():
 
     @jax.jit
     def run(nc, st):
-        # raw padded layout: pad rows hold a 2^30 sentinel, so the
+        # raw packed-step layout: pad rows hold a 2^30 sentinel, so the
         # reduction needs no slice (slicing relayouts the whole output
         # array and costs as much as the kernel itself)
         dist = myers_search_pallas(
@@ -70,7 +70,6 @@ def main():
             seg_len=seg_len,
             anchored=False,
             interpret=not on_tpu,
-            raw=True,
         )
         return (dist <= K).sum()
 

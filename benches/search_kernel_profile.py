@@ -1,9 +1,13 @@
 """Cost-isolation harness for the Myers search kernel (dev tool).
 
 Runs ablated variants of the kernel (drop the Eq MXU dots / the per-char
-seg loads / the output stores) on the bench_search workload to attribute
-cycles.  Ablations are NOT semantically correct — they exist only to
-locate the bottleneck; the real kernel lives in ops/pallas/search_myers.
+seg loads / the output stores) plus A/B variants of the round-3 wins
+(packed-step stores vs the old per-subgroup accumulate; shrunk vs full
+needle compare window) on the bench_search workload to attribute cycles.
+Ablations are NOT semantically correct — they exist only to locate the
+bottleneck; the real kernel lives in ops/pallas/search_myers.
+
+Env: PROF_MB (haystack MB, default 64), PROF_M (needle length, default 24).
 """
 
 import os
@@ -28,6 +32,7 @@ from triple_accel_tpu.ops.pallas.search_myers import (  # noqa: E402
     WORD,
     chunk_raw,
     myers_search_plan,
+    needle_rows,
     prepare_myers_search_inputs,
     suggest_own_len,
 )
@@ -39,22 +44,25 @@ def _round_up(x, mult):
 
 
 def make_kernel(needle_len, width, seg_len, *, no_dot=False, no_load=False,
-                no_store=False, anchored=False):
+                no_store=False, old_stores=False, wide_win=False,
+                anchored=False):
     m = needle_len
     NW, SG, G, WIN = myers_search_plan(m)
-    WINP = _round_up(WIN, 8)
+    TR = SG * G
+    WINP = _round_up(WIN, 8) if wide_win else needle_rows(m)
     wS, offS = (m - 1) // WORD, (m - 1) % WORD
     mtop = m - WORD * (NW - 1)
+    SP = 8 // G
     OUT = _round_up(seg_len + 1, 8)
 
     def kernel(nchar_ref, seg_ref, out_ref):
-        row = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-        sub = row & (SG - 1)
+        row = lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
+        sub = row if G == 1 else row & (SG - 1)
         maskw = jnp.where(
             sub < NW - 1, MW, jnp.where(sub == NW - 1, (1 << mtop) - 1, 0)
         )
-        zero = jnp.zeros((8, LANES), jnp.int32)
-        ones = jnp.ones((8, LANES), jnp.int32)
+        zero = jnp.zeros((TR, LANES), jnp.int32)
+        ones = jnp.ones((TR, LANES), jnp.int32)
 
         def bnot(x):
             return x ^ maskw
@@ -87,8 +95,8 @@ def make_kernel(needle_len, width, seg_len, *, no_dot=False, no_load=False,
                     d <<= 1
             return (s + c) & maskw
 
-        wr = lax.broadcasted_iota(jnp.int32, (8, WINP), 0)
-        wc = lax.broadcasted_iota(jnp.int32, (8, WINP), 1)
+        wr = lax.broadcasted_iota(jnp.int32, (TR, WINP), 0)
+        wc = lax.broadcasted_iota(jnp.int32, (TR, WINP), 1)
 
         def eq_weights(u):
             t = wc - WORD * (wr - u * SG)
@@ -106,14 +114,14 @@ def make_kernel(needle_len, width, seg_len, *, no_dot=False, no_load=False,
 
         def eq_for_step(t):
             if no_dot and no_load:
-                return (t * jnp.ones((8, LANES), jnp.int32)) & maskw
+                return (t * jnp.ones((TR, LANES), jnp.int32)) & maskw
             if no_dot:
                 e = zero
                 for u in range(G):
                     char = seg_ref[pl.ds(u * width + t - 1, 1), :]
                     e = e + char  # keep the load, drop the MXU work
                 return e & maskw
-            Eq_f = jnp.zeros((8, LANES), jnp.float32)
+            Eq_f = jnp.zeros((TR, LANES), jnp.float32)
             for u in range(G):
                 if no_load:
                     char = (t & 0xFF) * jnp.ones((1, LANES), jnp.int32)
@@ -138,29 +146,71 @@ def make_kernel(needle_len, width, seg_len, *, no_dot=False, no_load=False,
             Mv = PhS & Xv
             return (Pv, Mv, S)
 
-        def tile(t0, state, accs, r_lo):
-            eqs = [eq_for_step(t0 + r) for r in range(r_lo, 8)]
-            for r in range(r_lo, 8):
-                state = step(t0 + r, state, eqs[r - r_lo])
-                S = state[2]
-                if not no_store:
-                    for u in range(G):
-                        q = u * SG + wS
-                        rolled = pltpu.roll(S, (r - q) % 8, axis=0)
-                        accs[u] = jnp.where(row == r, rolled, accs[u])
+        s0 = jnp.full((TR, LANES), m, jnp.int32)
+
+        if old_stores:
+            # round-2 store scheme: per-step roll+select per SUBGROUP into
+            # G accumulator tiles, u-major output rows
+            def tile(t0, state, accs, r_lo):
+                eqs = [eq_for_step(t0 + r) for r in range(r_lo, 8)]
+                for r in range(r_lo, 8):
+                    state = step(t0 + r, state, eqs[r - r_lo])
+                    S = state[2]
+                    if not no_store:
+                        for u in range(G):
+                            q = u * SG + wS
+                            rolled = pltpu.roll(S, (r - q) % TR, axis=0)
+                            accs[u] = jnp.where(row == r, rolled, accs[u])
+                if no_store:
+                    accs[0] = state[2]
+                for u in range(G):
+                    out_ref[pl.ds(u * OUT + t0, 8), :] = accs[u][0:8, :]
+                return state
+
+            state = tile(0, state=(maskw, zero, s0), accs=[s0] * G, r_lo=1)
+
+            def body(tb, state):
+                return tile(8 * tb, state, [zero] * G, 0)
+
+            lax.fori_loop(1, OUT // 8, body, state)
+        else:
+            # round-3 packed-step stores (ops/pallas/search_myers.py)
+            def tile(t0, state, pk, r_lo):
+                eqs = [eq_for_step(t0 + r) for r in range(r_lo, 8)]
+                for r in range(r_lo, 8):
+                    state = step(t0 + r, state, eqs[r - r_lo])
+                    S = state[2]
+                    if no_store:
+                        pk = S
+                        continue
+                    s = r % SP  # t0 = 8*tb (tracer) and SP | 8: static in r
+                    sh = (s - wS) % TR
+                    rolled = pltpu.roll(S, sh, axis=0) if sh else S
+                    sel = sub if G > 1 else row
+                    pk = rolled if SP == 1 else jnp.where(sel == s, rolled,
+                                                          pk)
+                    if s == SP - 1:
+                        p = t0 // SP + r // SP
+                        out_ref[pl.ds(p * 8, 8), :] = pk[0:8, :]
+                return state, pk
+
             if no_store:
-                accs[0] = state[2]
-            for u in range(G):
-                out_ref[pl.ds(u * OUT + t0, 8), :] = accs[u]
-            return state
+                def tile(t0, state, pk, r_lo):  # noqa: F811
+                    eqs = [eq_for_step(t0 + r) for r in range(r_lo, 8)]
+                    for r in range(r_lo, 8):
+                        state = step(t0 + r, state, eqs[r - r_lo])
+                    out_ref[pl.ds(((t0 // SP) % (G * OUT // 8)) * 8, 8), :] \
+                        = state[2][0:8, :]
+                    return state, pk
 
-        s0 = jnp.full((8, LANES), m, jnp.int32)
-        state = tile(0, state=(maskw, zero, s0), accs=[s0] * G, r_lo=1)
+            if SP == 1:
+                out_ref[pl.ds(0, 8), :] = s0[0:8, :]
+            state, _ = tile(0, (maskw, zero, s0), s0, 1)
 
-        def body(tb, state):
-            return tile(8 * tb, state, [zero] * G, 0)
+            def body(tb, carry):
+                return tile(8 * tb, carry[0], zero, 0)
 
-        lax.fori_loop(1, OUT // 8, body, state)
+            lax.fori_loop(1, OUT // 8, body, (state, zero))
 
     return kernel, G, OUT
 
@@ -198,7 +248,8 @@ def run_variant(name, nchar, seg_t, m, width, seg_len, **abl):
 
 
 def main():
-    NEEDLE_LEN, K = 24, 3
+    NEEDLE_LEN = int(os.environ.get("PROF_M", "24"))
+    K = 3
     N = int(os.environ.get("PROF_MB", "64")) << 20
     rng = np.random.default_rng(1234)
     needle = rng.integers(97, 123, NEEDLE_LEN).astype(np.uint8)
@@ -211,16 +262,22 @@ def main():
     width = seg_t.shape[0] // myers_search_plan(NEEDLE_LEN)[2]
     nchar_d = jax.device_put(jnp.asarray(nchar))
     seg_d = jax.device_put(jnp.asarray(seg_t))
+    # the wide-window variant needs the full-window needle band
+    WINW = _round_up(myers_search_plan(NEEDLE_LEN)[3], 8)
+    ncw = np.full((WINW, LANES), -1, dtype=np.int32)
+    ncw[:NEEDLE_LEN, :] = needle[:, None]
+    ncw_d = jax.device_put(jnp.asarray(ncw))
 
-    for name, abl in [
-        ("full", {}),
-        ("no_store", {"no_store": True}),
-        ("no_dot", {"no_dot": True}),
-        ("no_load", {"no_load": True}),
-        ("no_dot_no_load", {"no_dot": True, "no_load": True}),
+    for name, nc, abl in [
+        ("full", nchar_d, {}),
+        ("old_stores", nchar_d, {"old_stores": True}),
+        ("wide_win", ncw_d, {"wide_win": True}),
+        ("no_store", nchar_d, {"no_store": True}),
+        ("no_dot", nchar_d, {"no_dot": True}),
+        ("no_load", nchar_d, {"no_load": True}),
+        ("no_dot_no_load", nchar_d, {"no_dot": True, "no_load": True}),
     ]:
-        dt = run_variant(name, nchar_d, seg_d, NEEDLE_LEN, width, seg_len,
-                         **abl)
+        dt = run_variant(name, nc, seg_d, NEEDLE_LEN, width, seg_len, **abl)
         print(f"{name:16s} {dt*1000:7.1f}ms  {N/dt/1e9:5.2f} GB/s")
 
 

@@ -227,6 +227,60 @@ def test_myers_search_public_api_matches_oracle(search_type_name):
         del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
 
 
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("m", [9, 24, 50, 200])  # SG = 1, 2, 4; G = 1
+def test_search_raw_packed_layout_and_sentinels(m, tiled):
+    """The raw packed-step layout invariants consumers rely on: row
+    (t//SP)*8 + u*SP + (t%SP) holds D[m][t], and every row for t > seg_len
+    carries the 2^30 sentinel (so device-side min/count reductions never
+    need a slice).  Both store schemes must emit the identical layout —
+    the tiled path only runs compiled on chip, so it is forced here."""
+    from triple_accel_tpu.ops.pallas.search_myers import (
+        myers_search_pallas,
+        myers_search_plan,
+        prepare_myers_search_inputs,
+    )
+    from triple_accel_tpu.oracle import levenshtein_search_naive_with_opts
+    from triple_accel_tpu.types import (
+        LEVENSHTEIN_COSTS,
+        RDAMERAU_COSTS,
+        SearchType,
+    )
+
+    rng = np.random.default_rng(m)
+    seg_len = 21  # OUT = 24 > seg_len + 1: sentinel rows exist
+    segs = rng.integers(65, 69, (3, seg_len)).astype(np.uint8)
+    needle = rng.integers(65, 69, m).astype(np.uint8)
+    nchar, seg_t, _ = prepare_myers_search_inputs(needle, segs)
+    G = myers_search_plan(m)[2]
+    SP = 8 // G
+    width = seg_t.shape[0] // G
+    damerau = m == 24  # one damerau case per scheme
+    costs = RDAMERAU_COSTS if damerau else LEVENSHTEIN_COSTS
+    out = np.asarray(myers_search_pallas(
+        nchar, seg_t, needle_len=m, width=width, seg_len=seg_len,
+        anchored=False, interpret=True, damerau=damerau, tiled=tiled,
+    ))
+    OUT = -(-(seg_len + 1) // 8) * 8
+    assert out.shape[0] == G * OUT
+    for c in range(3):
+        by_end = {
+            mt.end: mt.k
+            for mt in levenshtein_search_naive_with_opts(
+                needle, segs[c], m + seg_len, SearchType.All,
+                costs, False
+            )
+        }
+        g, u, lane = c // (G * 128), (c % (G * 128)) // 128, c % 128
+        for t in range(OUT):
+            r = (t // SP) * 8 + u * SP + (t % SP)
+            got = out[r, g * 128 + lane]
+            if t <= seg_len:
+                assert got == by_end[t], (c, t, got, by_end[t])
+            else:
+                assert got == 1 << 30, (c, t, got)
+
+
 def test_long_strings_route_past_vmem_guards():
     """Pairs too long for the Pallas kernels' VMEM budget must fall back
     (previously an opaque Mosaic OOM) and still be exact."""

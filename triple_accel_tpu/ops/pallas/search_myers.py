@@ -109,25 +109,41 @@ def myers_halo_budget(needle_len: int) -> int:
 UNROLL = 4  # haystack chars per loop iteration (MXU/VPU overlap)
 
 
+def needle_rows(needle_len: int) -> int:
+    """Sublane rows of the needle-character band: the Eq dot's weights are
+    zero past the needle, so the compare window is roundup(m, 8), not the
+    full word window NW*WORD — for m just past a word boundary this cuts
+    the per-step [rows, LANES] compare cost almost in half."""
+    return _round_up(max(needle_len, 1), 8)
+
+
 def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
                  tiled_stores: bool = True, damerau: bool = False):
     m = needle_len
     NW, SG, G, WIN = myers_search_plan(m)
     TR = SG * G  # state-tile rows: 8 (subgroup-packed) or roundup(NW, 8)
-    WINP = _round_up(WIN, 8)  # needle-band rows (8-divisible block rows)
+    WINP = needle_rows(m)  # needle-band rows (8-divisible block rows)
     wS, offS = (m - 1) // WORD, (m - 1) % WORD
     mtop = m - WORD * (NW - 1)
-    # block rows must be 8-divisible for multi-needle (per-needle-block)
-    # output indexing; rows in [seg_len+1, OUT) are filled with a +inf
-    # sentinel after the loop so raw-layout callers never see garbage
+    # PACKED-STEP output layout: each [8, LANES] out tile holds SP = 8//G
+    # consecutive end positions x G subgroups — raw row
+    # r = (t // SP) * 8 + u * SP + (t % SP).  This lets the store path
+    # place every step with at most one roll + one select (vs the old
+    # per-step roll+select per SUBGROUP, 2G ops/step); for SG = 1 the
+    # score tile IS the packed tile and stores are free of shuffles, and
+    # for G = 1 (multi-vreg needles) SP = 8 makes this exactly the plain
+    # row layout (row t holds D[m][t]) every other engine emits.
+    # Rows for end positions in (seg_len, OUT) are filled with a +inf
+    # sentinel after the loop so raw-layout callers never see garbage.
+    SP = 8 // G
     OUT = _round_up(seg_len + 1, 8)
     assert width >= OUT - 1, (width, OUT)
 
     def kernel(nchar_ref, seg_ref, out_ref):
-        # nchar_ref: [WIN, LANES]      needle chars on sublanes (-1 padded),
+        # nchar_ref: [WINP, LANES]     needle chars on sublanes (-1 padded),
         #                              replicated across lanes
         # seg_ref:   [G*width, LANES]  text chars per segment-block (-2 pad)
-        # out_ref:   [G*OUT, LANES]    D[m][j] per end position j
+        # out_ref:   [G*OUT, LANES]    D[m][j], packed-step layout above
         row = lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
         sub = row if G == 1 else row & (SG - 1)
         maskw = jnp.where(
@@ -231,12 +247,13 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
                 # per-char (1,128) stores: the interpret-mode form (each
                 # op costs python time there, so fewer ops wins).  The
                 # unrolled tail may step past the block (t >= OUT would
-                # clobber the next subgroup's rows); rows in
+                # clobber other packed rows); rows for end positions in
                 # (seg_len, OUT) are sentinel-filled after the loop.
                 @pl.when(t < OUT)
                 def _():
+                    base = (t // SP) * 8 + (t % SP)
                     for u in range(G):
-                        out_ref[pl.ds(u * OUT + t, 1), :] = S[
+                        out_ref[pl.ds(base + u * SP, 1), :] = S[
                             u * SG + wS : u * SG + wS + 1, :
                         ]
             if damerau:
@@ -246,34 +263,47 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
         s0 = jnp.full((TR, LANES), m, jnp.int32)
         state0 = (maskw, zero, s0, zero, zero) if damerau else (maskw, zero, s0)
         if tiled_stores:
-            # compiled form: accumulate 8 chars' scores into G [8,128]
-            # register tiles (static roll+select), one aligned store per
-            # subgroup per tile — measured +24% over per-char stores on
-            # chip (5.11 -> 6.36 GB/s, benches/search_kernel_profile.py)
-            def tile(t0, state, accs, r_lo):
+            # compiled form: pack SG consecutive steps' score rows into one
+            # [8,128] register tile (<=1 roll + 1 select per STEP, vs the
+            # old per-step roll+select per SUBGROUP = 2G ops/step), one
+            # aligned store per SG steps.  For SG = 1 the score tile is
+            # stored as-is — zero shuffle ops on the store path.
+            def tile(t0, state, pk, r_lo):
+                # t0 is 8*tb (a tracer inside fori_loop) and SP | 8, so the
+                # packed slot s and the flush decision are STATIC in r
                 eqs = [eq_for_step(t0 + r) for r in range(r_lo, 8)]
                 for r in range(r_lo, 8):
                     state = step(t0 + r, state, eqs[r - r_lo])
                     S = state[2]
-                    for u in range(G):
-                        q = u * SG + wS
-                        rolled = pltpu.roll(S, (r - q) % TR, axis=0)
-                        accs[u] = jnp.where(row == r, rolled, accs[u])
-                for u in range(G):
-                    out_ref[pl.ds(u * OUT + t0, 8), :] = accs[u][0:8, :]
-                return state
+                    s = r % SP
+                    # move state row u*SG+wS to packed row u*SP+s; for
+                    # G == 1 this selects plain row s (u = 0)
+                    sh = (s - wS) % TR
+                    rolled = pltpu.roll(S, sh, axis=0) if sh else S
+                    sel = sub if G > 1 else row
+                    pk = rolled if SP == 1 else jnp.where(sel == s, rolled,
+                                                          pk)
+                    if s == SP - 1:
+                        p = t0 // SP + r // SP
+                        out_ref[pl.ds(p * 8, 8), :] = pk[0:8, :]
+                return state, pk
 
-            # tile 0: row 0 = D[m][0] = m (whole needle deleted)
-            state = tile(0, state0, [s0 for _ in range(G)], 1)
+            if SP == 1:
+                # t = 0's packed tile is never flushed in-loop (r_lo = 1):
+                # store D[m][0] = m for every subgroup up front
+                out_ref[pl.ds(0, 8), :] = s0[0:8, :]
+            # tile 0: pk starts as s0, so the s = 0 rows (t = 0) already
+            # hold D[m][0] = m for every subgroup (SG > 1)
+            state, _ = tile(0, state0, s0, 1)
 
-            def body(tb, state):
-                return tile(8 * tb, state, [zero for _ in range(G)], 0)
+            def body(tb, carry):
+                return tile(8 * tb, carry[0], zero, 0)
 
-            lax.fori_loop(1, OUT // 8, body, state)
+            lax.fori_loop(1, OUT // 8, body, (state, zero))
         else:
-            # D[m][0] = m, both modes
+            # D[m][0] = m, both modes (packed rows u*SP + 0)
             for u in range(G):
-                out_ref[u * OUT : u * OUT + 1, :] = jnp.full(
+                out_ref[u * SP : u * SP + 1, :] = jnp.full(
                     (1, LANES), m, jnp.int32
                 )
 
@@ -289,16 +319,23 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
             SL = _round_up(seg_len, UNROLL)
             lax.fori_loop(1, SL // UNROLL + 1, body, state0)
 
-        # rows past seg_len are pad garbage: overwrite with a +inf sentinel
-        # so callers can min/filter the RAW padded layout without slicing
-        # (a [:seg_len+1] slice relayouts the whole output array — measured
-        # at ~half the end-to-end kernel throughput)
-        rem = OUT - (seg_len + 1)
-        if rem:
-            for u in range(G):
-                out_ref[u * OUT + seg_len + 1 : (u + 1) * OUT, :] = jnp.full(
-                    (rem, LANES), 1 << 30, jnp.int32
-                )
+        # rows for end positions past seg_len are pad garbage: overwrite
+        # with a +inf sentinel so callers can min/filter the RAW padded
+        # layout without slicing (a [:seg_len+1] slice relayouts the whole
+        # output array — measured at ~half the end-to-end kernel
+        # throughput).  The packed boundary tile p_b may interleave valid
+        # (s <= sb) and garbage rows; tiles after it are fully garbage.
+        p_b, sb = seg_len // SP, seg_len % SP
+        if sb != SP - 1:
+            cur = out_ref[p_b * 8 : p_b * 8 + 8, :]
+            spos = lax.broadcasted_iota(jnp.int32, (8, LANES), 0) % SP
+            out_ref[p_b * 8 : p_b * 8 + 8, :] = jnp.where(
+                spos > sb, jnp.full((8, LANES), 1 << 30, jnp.int32), cur
+            )
+        if (p_b + 1) * 8 < G * OUT:
+            out_ref[(p_b + 1) * 8 : G * OUT, :] = jnp.full(
+                (G * OUT - (p_b + 1) * 8, LANES), 1 << 30, jnp.int32
+            )
 
     return kernel, NW, SG, G, WIN
 
@@ -307,12 +344,12 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
     jax.jit,
     static_argnames=(
         "needle_len", "width", "seg_len", "anchored", "num_needles",
-        "interpret", "raw", "damerau",
+        "interpret", "damerau", "tiled",
     ),
 )
 def myers_search_pallas(
-    nchar: jnp.ndarray,  # [num_needles*WIN, LANES] int32 needle chars,
-    #                      lane-replicated, one WIN-row band per needle
+    nchar: jnp.ndarray,  # [num_needles*needle_rows(m), LANES] int32 needle
+    #                      chars, lane-replicated, one band per needle
     seg_t: jnp.ndarray,  # [G*width, BG] int32/uint8 text segments
     *,
     needle_len: int,
@@ -321,34 +358,36 @@ def myers_search_pallas(
     anchored: bool = False,
     num_needles: int = 1,
     interpret: bool = False,
-    raw: bool = False,
     damerau: bool = False,
+    tiled: bool | None = None,  # tests only: force the store scheme
 ):
     """Per-end-position search distances D[needle_len][j], j in [0, seg_len],
-    for every (needle, segment) pair.  Returns
-    [num_needles*G*(seg_len+1), BG] int32: needle n's results occupy rows
-    [n*G*(seg_len+1), (n+1)*G*(seg_len+1)); within them, segment c lives
-    at block u = (c % (G*128)) // 128 rows, column (c // (G*128))*128+lane.
-
-    With `raw=True` the 8-padded layout is returned unsliced (per-needle
-    stride G*OUT rows, OUT = roundup(seg_len+1, 8); pad rows hold a 2^30
-    sentinel) — the zero-copy form for device-side reductions: the slice
+    for every (needle, segment) pair, in the RAW packed-step layout:
+    [num_needles*G*OUT, BG] int32 with OUT = roundup(seg_len+1, 8).
+    Needle n's results occupy rows [n*G*OUT, (n+1)*G*OUT); within them,
+    end position t of segment c = g*(G*128) + u*128 + lane lives at row
+    (t // SP)*8 + u*SP + (t % SP) with SP = 8 // G, column g*128 + lane.
+    Rows for t > seg_len hold a 2^30 sentinel, so device-side reductions
+    (block minima, hit counts) need no slice — a [:seg_len+1] slice
     relayouts the entire output and costs as much as the kernel itself.
+    `collect_hits` / the prep functions' `decode` closure invert the
+    layout host-side.
 
     Multi-needle search ("dictionary" mode, beyond the reference's scope):
     the grid is (num_needles, segment blocks) — the haystack is uploaded
     and held ONCE and every needle of the same length class sweeps it in
     one launch.
     """
-    # rows past seg_len carry zero-extension garbage that callers never
-    # map to owned positions (sliced off below when OUT > seg_len + 1);
     # tiled stores compile faster on chip, per-char stores run faster
-    # under the python interpreter
+    # under the python interpreter; both emit the identical packed-step
+    # layout (tests force each via `tiled`)
     kernel, NW, SG, G, WIN = _make_kernel(needle_len, width, seg_len,
                                           anchored,
-                                          tiled_stores=not interpret,
+                                          tiled_stores=(
+                                              not interpret if tiled is None
+                                              else tiled),
                                           damerau=damerau)
-    WINP = _round_up(WIN, 8)
+    WINP = needle_rows(needle_len)
     BG = seg_t.shape[1]
     assert BG % LANES == 0 and seg_t.shape[0] == G * width
     assert nchar.shape == (num_needles * WINP, LANES)
@@ -356,7 +395,7 @@ def myers_search_pallas(
     # segments may arrive as uint8 (4x less host->device traffic); the
     # kernel compares against int32 needle chars, so widen on device first
     seg_t = seg_t.astype(jnp.int32)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(num_needles, BG // LANES),
         in_specs=[
@@ -371,10 +410,6 @@ def myers_search_pallas(
                                        jnp.int32),
         interpret=interpret,
     )(nchar, seg_t)
-    if not raw and OUT != seg_len + 1:
-        out = out.reshape(num_needles * G, OUT, BG)[:, : seg_len + 1]
-        out = out.reshape(-1, BG)
-    return out
 
 
 def chunk_raw(hay: np.ndarray, halo: int, own_len: int):
@@ -436,7 +471,7 @@ def myers_search_block_mins(
     dist = myers_search_pallas(
         nchar, seg_t, needle_len=needle_len, width=width,
         seg_len=seg_len, anchored=anchored, num_needles=num_needles,
-        interpret=interpret, raw=True, damerau=damerau,
+        interpret=interpret, damerau=damerau,
     )
     R = dist.shape[0]
     pad = (-R) % BLOCK
@@ -463,7 +498,7 @@ def prepare_myers_needles(needles, needle_len: int) -> np.ndarray:
     band, replicated across lanes)."""
     plan = myers_search_plan(needle_len)
     assert plan is not None
-    WINP = _round_up(plan[3], 8)
+    WINP = needle_rows(needle_len)
     num = len(needles)
     nchar = np.full((num * WINP, LANES), -1, dtype=np.int32)
     for i, nd in enumerate(needles):
@@ -517,18 +552,23 @@ def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
     plan = myers_search_plan(m)
     assert plan is not None
     NW, SG, G, WIN = plan
+    SP = 8 // G
     C0 = np.asarray(seg_pad).shape[0]
     seg_t = prepare_myers_segs(seg_pad, G)
     BG = seg_t.shape[1]
     nG = BG // LANES
 
-    nchar = np.full((_round_up(WIN, 8), LANES), -1, dtype=np.int32)
+    nchar = np.full((needle_rows(m), LANES), -1, dtype=np.int32)
     nchar[:m, :] = np.asarray(needle, dtype=np.int32)[:, None]
 
     def decode(out, seg_len):
-        d = np.asarray(out).reshape(G, seg_len + 1, nG, LANES)
-        d = np.transpose(d, (2, 0, 3, 1)).reshape(-1, seg_len + 1)
-        return d[:C0]
+        # invert the packed-step layout: raw row (t//SP)*8 + u*SP + (t%SP),
+        # column g*LANES + lane -> segment c = g*(G*128) + u*128 + lane,
+        # end position t
+        OUT = _round_up(seg_len + 1, 8)
+        d = np.asarray(out).reshape(OUT // SP, G, SP, nG, LANES)
+        d = np.transpose(d, (3, 1, 4, 0, 2)).reshape(nG * G * LANES, OUT)
+        return d[:C0, : seg_len + 1]
 
     return nchar, seg_t, decode
 
@@ -766,10 +806,11 @@ def blocked_search_pallas(
     """Per-end-position search distances D[needle_len][j] for needles of
     ANY length (the blocked form of the Myers kernel above; needle strips
     ride the innermost grid axis with per-column boundary bits in VMEM
-    scratch).  Output layout matches `myers_search_pallas(raw=True)` with
-    G = 1: needle n's distances occupy rows [n*OUT, (n+1)*OUT), OUT =
-    roundup(seg_len+1, 8), pad rows hold a 2^30 sentinel; segment c lives
-    at column (c // 128)*128 + (c % 128)."""
+    scratch).  Output layout matches `myers_search_pallas` with G = 1
+    (plain row layout): needle n's distances occupy rows [n*OUT,
+    (n+1)*OUT), OUT = roundup(seg_len+1, 8), row t holds D[m][t], pad
+    rows hold a 2^30 sentinel; segment c lives at column
+    (c // 128)*128 + (c % 128)."""
     plan = myers_blocked_plan(needle_len)
     assert plan is not None
     NWt, _, n_strips = plan
@@ -885,8 +926,9 @@ def collect_hits(
     (needle, end position): needle index, global end position, kernel
     distance, for every in-bounds owned position with distance <= k.
 
-    `t_offset` adapts the row->t mapping: 0 for the raw padded layouts
-    (row t holds D[t]) and 1 for the chunked/flat layouts (row r holds
+    `t_offset` adapts the row->t mapping: 0 for the raw kernel layouts
+    (packed-step, or its G = 1 row-layout degenerate) and 1 for the
+    chunked/flat layouts (row r holds
     D[r+1]; D[0] is not emitted — callers append the end-0 candidate
     when m <= k).  With `lblocks` (the matching gathered length blocks,
     engines whose DP tracks lengths inline), a fourth array of lengths
@@ -908,7 +950,12 @@ def collect_hits(
     g, lane = col // LANES, col % LANES
     r = rb[bi_idx].astype(np.int64) * BLOCK + off_idx
     ni, rem = r // (G * OUT), r % (G * OUT)
-    u, t = rem // OUT, rem % OUT
+    # packed-step layout (myers_search_pallas): row = (t//SP)*8 + u*SP +
+    # (t%SP), SP = 8//G; for G == 1 (blocked / chunked / flat layouts)
+    # this degenerates to the plain row layout u = 0, t = rem
+    sp = 8 // G
+    w = rem % 8
+    u, t = w // sp, (rem // 8) * sp + (w % sp)
     t = t + t_offset
     c = g * (G * LANES) + u * LANES + lane
     gpos = c * own_len - halo + t
