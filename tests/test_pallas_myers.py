@@ -281,6 +281,42 @@ def test_search_raw_packed_layout_and_sentinels(m, tiled):
                 assert got == 1 << 30, (c, t, got)
 
 
+@pytest.mark.parametrize(
+    "n,halo,own,G",
+    [
+        (100_000, 333, 896, 8),
+        (5_000, 1_050, 128, 4),  # halo > own: multi-block windows
+        (1, 5, 128, 1),
+        (70_000, 2_944, 2_944, 1),
+        (9_999, 0, 4_096, 2),  # anchored-style zero halo
+    ],
+)
+def test_device_prep_matches_host(n, halo, own, G):
+    """device_windows + device_grouped_transpose (the on-device prep the
+    search dispatchers now feed the kernels from) must be byte-exact with
+    the host-side chunk_raw + prepare_myers_segs layouts."""
+    import jax.numpy as jnp
+
+    from triple_accel_tpu.ops.pallas.search_myers import (
+        _round_up,
+        chunk_raw,
+        device_grouped_transpose,
+        device_windows,
+        prepare_myers_segs,
+        seg_count,
+    )
+
+    rng = np.random.default_rng(n + halo)
+    hay = rng.integers(0, 256, n).astype(np.uint8)
+    segs, num = chunk_raw(hay, halo, own)
+    assert num == seg_count(n, own)
+    win = device_windows(jnp.asarray(hay), halo=halo, own_len=own, num=num)
+    assert np.array_equal(np.asarray(win), np.asarray(segs))
+    width = _round_up(halo + own + 1, 8)
+    dev = device_grouped_transpose(win, G, width)
+    assert np.array_equal(np.asarray(dev), prepare_myers_segs(segs, G))
+
+
 def test_long_strings_route_past_vmem_guards():
     """Pairs too long for the Pallas kernels' VMEM budget must fall back
     (previously an opaque Mosaic OOM) and still be exact."""

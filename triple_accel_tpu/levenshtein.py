@@ -1018,11 +1018,16 @@ def _flat_search_dispatch(
     like the Myers engines."""
     import jax
 
-    from .ops.pallas.search_flat import flat_search_mins, prepare_flat_inputs
+    import jax.numpy as jnp
+
+    from .ops.pallas.search_flat import (
+        flat_search_mins_from_hay,
+        prepare_flat_needle,
+    )
     from .ops.pallas.search_myers import (
-        chunk_raw,
         collect_hits,
         myers_gather_blocks,
+        seg_count,
     )
     from .ops.search_scan import window_span
 
@@ -1034,7 +1039,8 @@ def _flat_search_dispatch(
     halo = min(-(-halo // 256) * 256, iter_len)
     own_len = min(round_up_pow2(iter_len, 128),
                   max(4 * rj, round_up_pow2(halo, 128)))
-    segs, C0 = chunk_raw(haystack[:iter_len], halo, own_len)
+    C0 = seg_count(iter_len, own_len)
+    njc = max(-(-(halo + own_len) // rj), 1)
     DispatchDecision(
         path="flat_search",
         cost_bucket=select_cost_bucket(k if k < U32_MAX else U32_MAX),
@@ -1043,12 +1049,11 @@ def _flat_search_dispatch(
         padded_m=m,
         padded_n=halo + own_len,
     ).log("levenshtein_search_simd_with_opts")
-    seg_lead, nchar, nprev, _C, njc, nic = prepare_flat_inputs(
-        needle, segs, rj=rj, ti=ti
-    )
-    d_dev, l_dev, mins_d = flat_search_mins(
-        seg_lead, nchar, nprev,
-        needle_len=m, n_jchunks=njc, n_ichunks=nic,
+    nchar, nprev, _nic = prepare_flat_needle(needle, ti)
+    d_dev, l_dev, mins_d = flat_search_mins_from_hay(
+        jnp.asarray(np.ascontiguousarray(haystack[:iter_len])),
+        nchar, nprev,
+        needle_len=m, halo=halo, own_len=own_len, num=C0,
         costs_t=_costs_tuple(costs),
         interpret=jax.default_backend() != "tpu",
         rj=rj, ti=ti,
@@ -1198,14 +1203,15 @@ def levenshtein_search_simd_with_opts(
                 engine = "chunked"
     if engine is not None:
         import jax
+        import jax.numpy as jnp
 
         from .ops.pallas.search_myers import (
-            blocked_search_block_mins,
-            chunk_raw,
+            blocked_search_block_mins_from_hay,
             myers_gather_blocks,
-            myers_search_block_mins,
-            prepare_blocked_search_inputs,
-            prepare_myers_search_inputs,
+            myers_search_block_mins_from_hay,
+            prepare_blocked_needles,
+            prepare_myers_needles,
+            seg_count,
             suggest_own_len,
             suggest_own_len_blocked,
         )
@@ -1224,7 +1230,7 @@ def levenshtein_search_simd_with_opts(
             # keeps the overlap redundancy under 2x
             own_len = min(round_up_pow2(iter_len, 128),
                           max(4096, round_up_pow2(halo, 128)))
-        segs, C = chunk_raw(haystack[:iter_len], halo, own_len)
+        C = seg_count(iter_len, own_len)
         seg_len = halo + own_len
         path_name = "myers_search_rdamerau" if damerau else "myers_search"
         if engine != "subgroup":
@@ -1240,33 +1246,36 @@ def levenshtein_search_simd_with_opts(
 
         t_off = 0
         if engine == "subgroup":
-            # raw padded kernel layout (pad rows hold a 2^30 sentinel)
+            # raw packed-step kernel layout (pad rows hold a 2^30
+            # sentinel); the RAW haystack is the only host->device
+            # transfer — windowing + the grouped transpose run on device
+            # (device_windows), removing the ~100 MB/s host numpy packing
+            # from the hot path
             OUT = -(-(seg_len + 1) // 8) * 8
-            nchar, seg_t, _decode = prepare_myers_search_inputs(needle, segs)
+            nchar = prepare_myers_needles([needle], m)
             G = myers_search_plan(m)[2]
-            width = seg_t.shape[0] // G
-            dist_d, mins_d = myers_search_block_mins(
-                nchar,
-                jax.device_put(seg_t),
+            dist_d, mins_d = myers_search_block_mins_from_hay(
+                jnp.asarray(np.ascontiguousarray(haystack[:iter_len])),
+                jax.device_put(nchar),
                 needle_len=m,
-                width=width,
-                seg_len=seg_len,
+                halo=halo,
+                own_len=own_len,
+                num=C,
                 anchored=anchored,
                 interpret=interpret,
                 damerau=damerau,
             )
         elif engine == "blocked":
             OUT = -(-(seg_len + 1) // 8) * 8
-            nchar, seg_t, width, _BG = prepare_blocked_search_inputs(
-                needle, segs
-            )
+            nchar = prepare_blocked_needles([needle], m)
             G = 1
-            dist_d, mins_d = blocked_search_block_mins(
+            dist_d, mins_d = blocked_search_block_mins_from_hay(
+                jnp.asarray(np.ascontiguousarray(haystack[:iter_len])),
                 jax.device_put(nchar),
-                jax.device_put(seg_t),
                 needle_len=m,
-                width=width,
-                seg_len=seg_len,
+                halo=halo,
+                own_len=own_len,
+                num=C,
                 anchored=anchored,
                 interpret=interpret,
                 damerau=damerau,
@@ -1274,22 +1283,23 @@ def levenshtein_search_simd_with_opts(
         else:
             from .ops.pallas.myers_chunked import (
                 TC,
-                blocked_search_chunked_mins,
+                blocked_search_chunked_mins_from_hay,
                 prepare_chunked_needles,
-                prepare_chunked_search_segs,
             )
 
             nchar, n_strips = prepare_chunked_needles([needle], m)
-            seg_c, _BGc, n_chunks = prepare_chunked_search_segs(segs)
+            n_chunks = max(-(-seg_len // TC), 1)
             G = 1
             OUT = n_chunks * TC  # row r holds D[r + 1] (t_offset below)
             t_off = 1
-            dist_d, mins_d = blocked_search_chunked_mins(
+            dist_d, mins_d = blocked_search_chunked_mins_from_hay(
+                jnp.asarray(np.ascontiguousarray(haystack[:iter_len])),
                 jax.device_put(nchar),
-                jax.device_put(seg_c),
                 needle_len=m,
                 n_strips=n_strips,
-                n_chunks=n_chunks,
+                halo=halo,
+                own_len=own_len,
+                num=C,
                 anchored=anchored,
                 damerau=damerau,
                 interpret=interpret,
@@ -1527,21 +1537,38 @@ class PackedHaystack:
     def __init__(self, haystack: BytesLike):
         self.haystack = np.ascontiguousarray(to_bytes_array(haystack))
         self._packs: dict = {}
+        self._hay_dev = None
 
     def __len__(self) -> int:
         return len(self.haystack)
 
-    def pack(self, G: int, halo: int, own_len: int):
-        """Device-resident [G*width, BG] segment pack (memoized)."""
-        import jax
+    def device_haystack(self):
+        """The raw haystack as a device array (uploaded once, memoized)."""
+        import jax.numpy as jnp
 
-        from .ops.pallas.search_myers import chunk_raw, prepare_myers_segs
+        if self._hay_dev is None:
+            self._hay_dev = jnp.asarray(self.haystack)
+        return self._hay_dev
+
+    def pack(self, G: int, halo: int, own_len: int):
+        """Device-resident [G*width, BG] segment pack (memoized).  Built ON
+        DEVICE from the once-uploaded raw haystack (device_pack_segs): a
+        new (G, halo, own_len) configuration costs a device-side repack,
+        not a second upload or a host-side numpy transpose."""
+        from .ops.pallas.search_myers import device_pack_segs, seg_count
 
         key = (G, halo, own_len)
         hit = self._packs.get(key)
         if hit is None:
-            segs, C = chunk_raw(self.haystack, halo, own_len)
-            hit = (jax.device_put(prepare_myers_segs(segs, G)), C)
+            num = seg_count(len(self.haystack), own_len)
+            width = -(-(halo + own_len + 1) // 8) * 8
+            hit = (
+                device_pack_segs(
+                    self.device_haystack(), halo=halo, own_len=own_len,
+                    num=num, G=G, width=width,
+                ),
+                num,
+            )
             self._packs[key] = hit
         return hit
 
@@ -1569,7 +1596,6 @@ def levenshtein_search_many(
     import jax
 
     from .ops.pallas.search_myers import (
-        chunk_raw,
         collect_hits,
         myers_gather_blocks,
         myers_search_block_mins,
@@ -1620,8 +1646,6 @@ def levenshtein_search_many(
 
     pack_cache: dict = {}
     if planned:
-        from .ops.pallas.search_myers import prepare_myers_segs
-
         halo_all = min(
             -(-max(window_span(m, k, 1, 0) for m, _, _ in planned)
               // 256) * 256,
@@ -1633,11 +1657,12 @@ def levenshtein_search_many(
         halo = halo_all
         if G not in pack_cache:
             own = min(suggest_own_len(m, halo), round_up_pow2(n, 128))
-            if packed is not None:
-                dev, C_ = packed.pack(G, halo, own)
-            else:
-                segs, C_ = chunk_raw(haystack, halo, own)
-                dev = jax.device_put(prepare_myers_segs(segs, G))
+            if packed is None:
+                # transient pack: still uploads the raw haystack exactly
+                # once for ALL needle-length groups (device-side repacks
+                # per G are device->device)
+                packed = PackedHaystack(haystack)
+            dev, C_ = packed.pack(G, halo, own)
             pack_cache[G] = (dev, C_, own)
         seg_t, C, own_len = pack_cache[G]
         seg_len = halo + own_len

@@ -47,6 +47,7 @@ __all__ = [
     "prepare_blocked_distance_inputs",
     "blocked_search_chunked",
     "blocked_search_chunked_mins",
+    "blocked_search_chunked_mins_from_hay",
     "prepare_chunked_needles",
     "prepare_chunked_search_segs",
     "TC",
@@ -609,6 +610,34 @@ blocked_search_chunked_mins = partial(
         "damerau", "interpret",
     ),
 )(blocked_search_chunked_mins)
+
+
+def blocked_search_chunked_mins_from_hay(
+    hay, nchar, *, needle_len, n_strips, halo, own_len, num,
+    anchored=False, num_needles=1, damerau=False, interpret=False,
+):
+    """blocked_search_chunked_mins fed from the RAW haystack: windowing
+    and the transpose run on device in the same jit — see
+    search_myers.myers_search_block_mins_from_hay."""
+    from .search_myers import device_grouped_transpose, device_windows
+
+    seg_len = halo + own_len
+    n_chunks = max(-(-seg_len // TC), 1)
+    win = device_windows(hay, halo=halo, own_len=own_len, num=num)
+    seg = device_grouped_transpose(win, 1, n_chunks * TC)
+    return blocked_search_chunked_mins(
+        nchar, seg, needle_len=needle_len, n_strips=n_strips,
+        n_chunks=n_chunks, anchored=anchored, num_needles=num_needles,
+        damerau=damerau, interpret=interpret,
+    )
+
+
+blocked_search_chunked_mins_from_hay = partial(
+    jax.jit, static_argnames=(
+        "needle_len", "n_strips", "halo", "own_len", "num", "anchored",
+        "num_needles", "damerau", "interpret",
+    ),
+)(blocked_search_chunked_mins_from_hay)
 
 
 def prepare_chunked_needles(needles, needle_len: int):

@@ -51,7 +51,9 @@ from ..band_scan import INF
 __all__ = [
     "flat_search",
     "flat_search_mins",
+    "flat_search_mins_from_hay",
     "prepare_flat_inputs",
+    "prepare_flat_needle",
     "RJ",
     "TI",
     "LANES",
@@ -403,13 +405,24 @@ def flat_search_mins(
     return d, l, mins
 
 
+def prepare_flat_needle(needle: np.ndarray, ti: int = TI):
+    """Needle-row bands for flat_search: (nchar, nprev, n_ichunks)."""
+    m = len(needle)
+    n_ichunks = max(-(-m // ti), 1)
+    mP = n_ichunks * ti
+    npad = np.full(mP + 2, -1, dtype=np.int32)
+    npad[2 : 2 + m] = np.asarray(needle, dtype=np.int32)
+    nchar = np.repeat(npad[2 : 2 + mP, None], LANES, axis=1)
+    nprev = np.repeat(npad[1 : 1 + mP, None], LANES, axis=1)
+    return nchar, nprev, n_ichunks
+
+
 def prepare_flat_inputs(needle: np.ndarray, seg_pad: np.ndarray,
                         rj: int = RJ, ti: int = TI):
     """Pack raw overlapping segments ([C0, seg_len] rows, chunk_raw's
     view) and the needle for flat_search; returns
     (seg_lead, nchar, nprev, C, n_jchunks, n_ichunks)."""
     RJ, TI = rj, ti
-    m = len(needle)
     seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
     C0, width0 = seg_pad.shape
     C = max(_round_up(max(C0, 1), LANES), 2 * LANES)
@@ -417,10 +430,33 @@ def prepare_flat_inputs(needle: np.ndarray, seg_pad: np.ndarray,
     seg_lead = np.zeros((2 + n_jchunks * RJ + 8, C), dtype=np.uint8)
     seg_lead[2 : 2 + width0, :C0] = seg_pad.T
 
-    n_ichunks = max(-(-m // TI), 1)
-    mP = n_ichunks * TI
-    npad = np.full(mP + 2, -1, dtype=np.int32)
-    npad[2 : 2 + m] = np.asarray(needle, dtype=np.int32)
-    nchar = np.repeat(npad[2 : 2 + mP, None], LANES, axis=1)
-    nprev = np.repeat(npad[1 : 1 + mP, None], LANES, axis=1)
+    nchar, nprev, n_ichunks = prepare_flat_needle(needle, TI)
     return seg_lead, nchar, nprev, C, n_jchunks, n_ichunks
+
+
+@partial(
+    jax.jit,
+    static_argnames=("needle_len", "halo", "own_len", "num", "costs_t",
+                     "interpret", "rj", "ti"),
+)
+def flat_search_mins_from_hay(
+    hay, nchar, nprev, *, needle_len, halo, own_len, num, costs_t,
+    interpret=False, rj=RJ, ti=TI,
+):
+    """flat_search_mins fed from the RAW haystack: windowing (chunk_raw
+    semantics) and the lead-padded transpose run on device in the same
+    jit — see search_myers.myers_search_block_mins_from_hay."""
+    from .search_myers import device_windows
+
+    win = device_windows(hay, halo=halo, own_len=own_len, num=num)
+    width0 = halo + own_len
+    C = max(_round_up(max(num, 1), LANES), 2 * LANES)
+    n_jchunks = max(-(-width0 // rj), 1)
+    core = jnp.pad(win, ((0, C - num), (0, 0))).T  # [width0, C]
+    seg_lead = jnp.pad(core, ((2, n_jchunks * rj + 8 - width0), (0, 0)))
+    n_ichunks = nchar.shape[0] // ti
+    return flat_search_mins(
+        seg_lead, nchar, nprev, needle_len=needle_len,
+        n_jchunks=n_jchunks, n_ichunks=n_ichunks, costs_t=costs_t,
+        interpret=interpret, rj=rj, ti=ti,
+    )

@@ -39,6 +39,11 @@ __all__ = [
     "myers_search_pallas",
     "prepare_myers_search_inputs",
     "prepare_myers_segs",
+    "device_windows",
+    "device_grouped_transpose",
+    "device_pack_segs",
+    "myers_search_block_mins_from_hay",
+    "seg_count",
     "myers_search_plan",
     "myers_blocked_plan",
     "blocked_search_pallas",
@@ -439,6 +444,62 @@ def chunk_raw(hay: np.ndarray, halo: int, own_len: int):
     return view[:: own_len][:num], num
 
 
+def seg_count(n: int, own_len: int) -> int:
+    """chunk_raw's segment count for an n-char haystack."""
+    return max(1, -(-n // own_len))
+
+
+def device_windows(hay: jnp.ndarray, *, halo: int, own_len: int, num: int):
+    """chunk_raw ON DEVICE: [num, halo+own_len] uint8 overlapping windows
+    of the zero-padded haystack, built from ceil(seg_len/own_len) shifted
+    contiguous reshapes (no gather).  The raw haystack is then the only
+    host->device transfer a search needs — the halo-duplicated windowing
+    and the grouped transpose (device_grouped_transpose) run in XLA on
+    chip, where they cost microseconds instead of the ~100 MB/s host-side
+    numpy packing that used to rival the tunnel upload itself.  Byte-exact
+    with chunk_raw (differentially tested), including the front-halo
+    zero-pad caveat documented there."""
+    seg_len = halo + own_len
+    total = halo + num * own_len + seg_len
+    padded = jnp.zeros((total,), jnp.uint8)
+    padded = lax.dynamic_update_slice(padded, hay.astype(jnp.uint8), (halo,))
+    nb = -(-seg_len // own_len)
+    blocks = [
+        lax.slice(padded, (i * own_len,), ((i + num) * own_len,))
+        .reshape(num, own_len)
+        for i in range(nb)
+    ]
+    win = blocks[0] if nb == 1 else jnp.concatenate(blocks, axis=1)
+    return win[:, :seg_len]
+
+
+def device_grouped_transpose(win: jnp.ndarray, G: int, width: int):
+    """prepare_myers_segs ON DEVICE: [C0, width0] windows -> [G*width, BG]
+    uint8 in the kernels' grouped transposed layout (G = 1 degenerates to
+    the blocked/chunked engines' plain [width, BG] transpose)."""
+    C0, width0 = win.shape
+    BG = max(_round_up(max(-(-C0 // G), 1), LANES), 2 * LANES)
+    nG = BG // LANES
+    w = jnp.pad(win, ((0, nG * G * LANES - C0), (0, 0)))
+    st = (
+        w.reshape(nG, G, LANES, width0)
+        .transpose(1, 3, 0, 2)
+        .reshape(G, width0, BG)
+    )
+    return jnp.pad(st, ((0, 0), (0, width - width0), (0, 0))).reshape(
+        G * width, BG
+    )
+
+
+@partial(jax.jit, static_argnames=("halo", "own_len", "num", "G", "width"))
+def device_pack_segs(hay, *, halo: int, own_len: int, num: int, G: int,
+                     width: int):
+    """Standalone jitted device prep (PackedHaystack's builder): raw
+    haystack in, [G*width, BG] segment pack out, all on device."""
+    win = device_windows(hay, halo=halo, own_len=own_len, num=num)
+    return device_grouped_transpose(win, G, width)
+
+
 BLOCK = 512  # rows per candidate block in the two-phase hit fetch
 
 
@@ -478,6 +539,39 @@ def myers_search_block_mins(
     dp = jnp.pad(dist, ((0, pad), (0, 0)), constant_values=1 << 30)
     mins = jnp.min(dp.reshape(-1, BLOCK, dist.shape[1]), axis=1)
     return dist, mins
+
+
+@partial(
+    jax.jit,
+    static_argnames=("needle_len", "halo", "own_len", "num", "anchored",
+                     "num_needles", "interpret", "damerau"),
+)
+def myers_search_block_mins_from_hay(
+    hay: jnp.ndarray,  # [<= num*own_len] uint8 raw haystack
+    nchar: jnp.ndarray,
+    *,
+    needle_len: int,
+    halo: int,
+    own_len: int,
+    num: int,
+    anchored: bool = False,
+    num_needles: int = 1,
+    interpret: bool = False,
+    damerau: bool = False,
+):
+    """myers_search_block_mins fed from the RAW haystack: windowing and the
+    grouped transpose run on device inside the same jit (one dispatch, one
+    upload of n bytes instead of the halo-duplicated host-packed layout)."""
+    G = myers_search_plan(needle_len)[2]
+    seg_len = halo + own_len
+    width = _round_up(seg_len + 1, 8)
+    win = device_windows(hay, halo=halo, own_len=own_len, num=num)
+    seg_t = device_grouped_transpose(win, G, width)
+    return myers_search_block_mins(
+        nchar, seg_t, needle_len=needle_len, width=width, seg_len=seg_len,
+        anchored=anchored, num_needles=num_needles, interpret=interpret,
+        damerau=damerau,
+    )
 
 
 @jax.jit
@@ -867,6 +961,38 @@ def blocked_search_block_mins(
     dp = jnp.pad(dist, ((0, pad), (0, 0)), constant_values=1 << 30)
     mins = jnp.min(dp.reshape(-1, BLOCK, dist.shape[1]), axis=1)
     return dist, mins
+
+
+@partial(
+    jax.jit,
+    static_argnames=("needle_len", "halo", "own_len", "num", "anchored",
+                     "num_needles", "interpret", "damerau"),
+)
+def blocked_search_block_mins_from_hay(
+    hay: jnp.ndarray,
+    nchar: jnp.ndarray,
+    *,
+    needle_len: int,
+    halo: int,
+    own_len: int,
+    num: int,
+    anchored: bool = False,
+    num_needles: int = 1,
+    interpret: bool = False,
+    damerau: bool = False,
+):
+    """blocked_search_block_mins fed from the RAW haystack (device-side
+    windowing + transpose, one dispatch) — see
+    myers_search_block_mins_from_hay."""
+    seg_len = halo + own_len
+    width = _round_up(seg_len + 1, 8)
+    win = device_windows(hay, halo=halo, own_len=own_len, num=num)
+    seg_t = device_grouped_transpose(win, 1, width)
+    return blocked_search_block_mins(
+        nchar, seg_t, needle_len=needle_len, width=width, seg_len=seg_len,
+        anchored=anchored, num_needles=num_needles, interpret=interpret,
+        damerau=damerau,
+    )
 
 
 def prepare_blocked_needles(needles, needle_len: int) -> np.ndarray:
