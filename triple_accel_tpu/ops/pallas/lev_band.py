@@ -264,9 +264,7 @@ def band_distance_pallas(
             slack = max(mc, sgc + gc, tc, gc, sgc + (W - 1) * gc)
             inf = int(jnp.iinfo(dtype).max) - slack
 
-    # strings may arrive as int16 (half the transfer); widen on device
-    a_t = a_t.astype(jnp.int32)
-    b_t = b_t.astype(jnp.int32)
+    a_t, b_t = _mask_band_inputs(a_t, b_t, m, n, unit_k)
     kernel = _make_kernel(unit_k, max_m, W, costs_t, dtype, inf)
     out = pl.pallas_call(
         kernel,
@@ -291,20 +289,41 @@ def band_distance_pallas(
     return out
 
 
+def _mask_band_inputs(a_t, b_t, m, n, unit_k: int):
+    """Widen raw uint8 inputs (0-valued pads) to int32 and rebuild the
+    -1/-2 pad sentinels on device from m/n: a row r is a real char iff
+    r < m; a b row iff unit_k <= r < unit_k + n.  Keeps kernel semantics
+    byte-identical to the old sentinel-padded int16 uploads at a quarter
+    of the transfer.  int32 arrivals (tests building sentinel layouts
+    directly) pass through unchanged."""
+    if a_t.dtype == jnp.int32:
+        return a_t, b_t
+    ra = lax.broadcasted_iota(jnp.int32, (a_t.shape[0], 1), 0)
+    rb = lax.broadcasted_iota(jnp.int32, (b_t.shape[0], 1), 0)
+    a_w = jnp.where(ra < m, a_t.astype(jnp.int32), -1)
+    b_w = jnp.where(
+        (rb >= unit_k) & (rb < unit_k + n), b_t.astype(jnp.int32), -2
+    )
+    return a_w, b_w
+
+
 def prepare_pallas_inputs(a_list, b_list, unit_k: int, max_m: int):
     """Pad a batch (len(a) <= len(b) per pair) into the transposed buffers
     band_distance_pallas expects; pads the batch to a multiple of 128.
 
-    Buffers are int16 (half the host->device transfer, with the -1/-2 pad
-    sentinels intact); the jitted kernel wrappers widen on device.  Rows
-    fill contiguously per pair and transpose once — per-pair strided
-    column writes dominated large-batch prep time."""
+    Buffers are raw uint8 with 0-valued pads (a quarter of the original
+    int32 host->device transfer — the e2e bottleneck for big batches);
+    the jitted kernel wrappers rebuild the -1/-2 pad sentinels ON DEVICE
+    from m/n/unit_k (_mask_band_inputs), so kernel semantics are
+    byte-identical to the sentinel-padded layout.  Rows fill contiguously
+    per pair and transpose once — per-pair strided column writes
+    dominated large-batch prep time."""
     W = 2 * unit_k + 1
     # at least two 128-lane grid blocks — this Mosaic runtime faults the
     # TPU worker on single-step grids
     B = max(_round_up(max(len(a_list), 1), LANES), 2 * LANES)
-    a_rows = np.full((B, max_m), -1, dtype=np.int16)
-    b_rows = np.full((B, max_m + W), -2, dtype=np.int16)
+    a_rows = np.zeros((B, max_m), dtype=np.uint8)
+    b_rows = np.zeros((B, max_m + W), dtype=np.uint8)
     m = np.zeros((1, B), dtype=np.int32)
     n = np.zeros((1, B), dtype=np.int32)
     c_fin = np.zeros((1, B), dtype=np.int32)
@@ -941,8 +960,7 @@ def band_trace_pallas(
     W = 2 * unit_k + 1
     B = a_t.shape[1]
     assert B % LANES == 0
-    a_t = a_t.astype(jnp.int32)  # int16 arrivals widen on device
-    b_t = b_t.astype(jnp.int32)
+    a_t, b_t = _mask_band_inputs(a_t, b_t, m, n, unit_k)
     kernel, P8 = _make_trace_kernel(unit_k, max_m, W, costs_t)
     dist, codes = pl.pallas_call(
         kernel,

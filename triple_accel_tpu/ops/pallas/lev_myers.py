@@ -291,10 +291,28 @@ def myers_distance_pallas(
     BG = a_t.shape[1]
     assert BG % LANES == 0
     grid = (BG // LANES,)
-    # strings may arrive as int16 (half the host->device transfer, the
-    # e2e bottleneck for big batches); widen on device for Mosaic
-    a_t = a_t.astype(jnp.int32)
-    b_t = b_t.astype(jnp.int32)
+    # strings arrive as raw uint8 with 0-valued pads (a quarter of the
+    # transfer); rebuild the -1/-2 pad sentinels on device from
+    # m/dlen/ukl so the kernel sees the exact sentinel layout.  int32
+    # arrivals (tests building sentinel layouts directly) pass through.
+    if a_t.dtype != jnp.int32:
+        MB = max_m + WIN
+        # m/dlen/ukl rows are expanded by subgroup; row u*SGe holds group
+        # u's values (SGe = 8 // G; G = 1 multi-vreg reads row 0 only)
+        SGe = 8 // G
+        mg = m[::SGe, :][:, None, :]  # [G, 1, BG]
+        ng = (m + dlen)[::SGe, :][:, None, :]
+        ug = ukl[::SGe, :][:, None, :]
+        ja = jax.lax.broadcasted_iota(jnp.int32, (G, max_m, BG), 1)
+        jb = jax.lax.broadcasted_iota(jnp.int32, (G, MB, BG), 1)
+        a3 = a_t.reshape(G, max_m, BG)
+        b3 = b_t.reshape(G, MB, BG)
+        a_t = jnp.where(ja < mg, a3.astype(jnp.int32), -1).reshape(
+            G * max_m, BG
+        )
+        b_t = jnp.where(
+            (jb >= ug) & (jb < ug + ng), b3.astype(jnp.int32), -2
+        ).reshape(G * MB, BG)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -339,11 +357,12 @@ def prepare_myers_inputs(a_list, b_list, k: int, max_m: int, ks=None):
     # column writes into the [rows, BG] layout cost ~40us/pair and
     # dominated large-batch end-to-end time
     MB = max_m + WIN
-    # int16 halves the host->device transfer (the e2e bottleneck for big
-    # batches) while keeping the -1/-2 pad sentinels distinct from every
-    # real char; the kernel wrapper widens to int32 on device
-    a_rows = np.full((G, BG, max_m), -1, dtype=np.int16)
-    b_rows = np.full((G, BG, MB), -2, dtype=np.int16)
+    # raw uint8 with 0-valued pads quarters the host->device transfer
+    # (the e2e bottleneck for big batches); the kernel wrapper rebuilds
+    # the -1/-2 pad sentinels on device from m/dlen/ukl, so the kernel
+    # sees the exact sentinel layout it always did
+    a_rows = np.zeros((G, BG, max_m), dtype=np.uint8)
+    b_rows = np.zeros((G, BG, MB), dtype=np.uint8)
     m = np.zeros((8, BG), dtype=np.int32)
     dlen = np.zeros((8, BG), dtype=np.int32)
     ukl = np.zeros((8, BG), dtype=np.int32)
