@@ -314,10 +314,24 @@ def walk_packed_traceback(
         ]
         return (word >> (2 * (c % PACK))) & 3
 
+    if a_t.dtype == jnp.uint8:
+        # prepare_pallas_inputs' ROW-major upload layout [B, len]; chars
+        # are only ever read on the real alignment path (i <= m, j <= n),
+        # so the 0-valued pads are never observed
+        a_char = lambda i: a_flat[p_arr * max_m + jnp.maximum(i - 1, 0)]
+        b_char = lambda j: b_flat[
+            p_arr * bw + jnp.clip(unit_k + j - 1, 0, bw - 1)
+        ]
+    else:
+        a_char = lambda i: a_flat[jnp.maximum(i - 1, 0) * B + p_arr]
+        b_char = lambda j: b_flat[
+            jnp.clip(unit_k + j - 1, 0, bw - 1) * B + p_arr
+        ]
+
     return _walk_scan(
         code_at,
-        lambda i: a_flat[jnp.maximum(i - 1, 0) * B + p_arr],
-        lambda j: b_flat[jnp.clip(unit_k + j - 1, 0, bw - 1) * B + p_arr],
+        a_char,
+        b_char,
         m.reshape(-1).astype(jnp.int32), n.reshape(-1).astype(jnp.int32),
         unit_k=unit_k, max_m=max_m,
     )

@@ -247,7 +247,7 @@ def band_distance_pallas(
     DMAs across steps.
     """
     W = 2 * unit_k + 1
-    B = a_t.shape[1]
+    B = m.shape[1]  # m is [1, B] in both input layouts
     assert B % LANES == 0, "batch must be padded to a multiple of 128"
     grid = (B // LANES,)
 
@@ -294,10 +294,14 @@ def _mask_band_inputs(a_t, b_t, m, n, unit_k: int):
     -1/-2 pad sentinels on device from m/n: a row r is a real char iff
     r < m; a b row iff unit_k <= r < unit_k + n.  Keeps kernel semantics
     byte-identical to the old sentinel-padded int16 uploads at a quarter
-    of the transfer.  int32 arrivals (tests building sentinel layouts
-    directly) pass through unchanged."""
+    of the transfer.  uint8 arrivals are ROW-major [B, len] (the prep's
+    upload layout) and are transposed on device — the host-side byte
+    transpose measured at ~40 ms for an 8K x 1KB batch, the single
+    largest remaining host cost; int32 arrivals (tests building the
+    transposed sentinel layout directly) pass through unchanged."""
     if a_t.dtype == jnp.int32:
         return a_t, b_t
+    a_t, b_t = a_t.T, b_t.T
     ra = lax.broadcasted_iota(jnp.int32, (a_t.shape[0], 1), 0)
     rb = lax.broadcasted_iota(jnp.int32, (b_t.shape[0], 1), 0)
     a_w = jnp.where(ra < m, a_t.astype(jnp.int32), -1)
@@ -308,16 +312,16 @@ def _mask_band_inputs(a_t, b_t, m, n, unit_k: int):
 
 
 def prepare_pallas_inputs(a_list, b_list, unit_k: int, max_m: int):
-    """Pad a batch (len(a) <= len(b) per pair) into the transposed buffers
+    """Pad a batch (len(a) <= len(b) per pair) into the upload buffers
     band_distance_pallas expects; pads the batch to a multiple of 128.
 
-    Buffers are raw uint8 with 0-valued pads (a quarter of the original
-    int32 host->device transfer — the e2e bottleneck for big batches);
-    the jitted kernel wrappers rebuild the -1/-2 pad sentinels ON DEVICE
-    from m/n/unit_k (_mask_band_inputs), so kernel semantics are
-    byte-identical to the sentinel-padded layout.  Rows fill contiguously
-    per pair and transpose once — per-pair strided column writes
-    dominated large-batch prep time."""
+    Buffers are raw uint8 with 0-valued pads in ROW-major [B, len] order
+    (a quarter of the original int32 host->device transfer — the e2e
+    bottleneck for big batches); the jitted kernel wrappers transpose on
+    device and rebuild the -1/-2 pad sentinels from m/n/unit_k
+    (_mask_band_inputs), so kernel semantics are byte-identical to the
+    old host-transposed sentinel layout while the host does exactly one
+    contiguous fill per pair and no transpose."""
     W = 2 * unit_k + 1
     # at least two 128-lane grid blocks — this Mosaic runtime faults the
     # TPU worker on single-step grids
@@ -333,8 +337,7 @@ def prepare_pallas_inputs(a_list, b_list, unit_k: int, max_m: int):
         m[0, p] = len(a)
         n[0, p] = len(b)
         c_fin[0, p] = min(max(len(b) - len(a) + unit_k, 0), W - 1)
-    return (np.ascontiguousarray(a_rows.T), np.ascontiguousarray(b_rows.T),
-            m, n, c_fin)
+    return a_rows, b_rows, m, n, c_fin
 
 
 # ---------------------------------------------------------------------------
@@ -958,7 +961,7 @@ def band_trace_pallas(
     (levenshtein.rs:1080-1089): codes stay in device memory for the
     vectorized walk (walk_packed_traceback)."""
     W = 2 * unit_k + 1
-    B = a_t.shape[1]
+    B = m.shape[1]  # m is [1, B] in both input layouts
     assert B % LANES == 0
     a_t, b_t = _mask_band_inputs(a_t, b_t, m, n, unit_k)
     kernel, P8 = _make_trace_kernel(unit_k, max_m, W, costs_t)

@@ -288,13 +288,15 @@ def myers_distance_pallas(
     <= k with ukl set accordingly); never under-estimates above it.
     """
     kernel, G, WIN = _make_kernel(k, max_m)
-    BG = a_t.shape[1]
+    BG = m.shape[1]  # m is [8, BG] in both input layouts
     assert BG % LANES == 0
     grid = (BG // LANES,)
-    # strings arrive as raw uint8 with 0-valued pads (a quarter of the
-    # transfer); rebuild the -1/-2 pad sentinels on device from
+    # strings arrive as raw uint8 with 0-valued pads in ROW-major
+    # [G, BG, len] order (a quarter of the transfer, no host transpose);
+    # transpose on device and rebuild the -1/-2 pad sentinels from
     # m/dlen/ukl so the kernel sees the exact sentinel layout.  int32
-    # arrivals (tests building sentinel layouts directly) pass through.
+    # arrivals (tests building the transposed sentinel layout directly)
+    # pass through.
     if a_t.dtype != jnp.int32:
         MB = max_m + WIN
         # m/dlen/ukl rows are expanded by subgroup; row u*SGe holds group
@@ -305,8 +307,8 @@ def myers_distance_pallas(
         ug = ukl[::SGe, :][:, None, :]
         ja = jax.lax.broadcasted_iota(jnp.int32, (G, max_m, BG), 1)
         jb = jax.lax.broadcasted_iota(jnp.int32, (G, MB, BG), 1)
-        a3 = a_t.reshape(G, max_m, BG)
-        b3 = b_t.reshape(G, MB, BG)
+        a3 = a_t.transpose(0, 2, 1)  # [G, max_m, BG]
+        b3 = b_t.transpose(0, 2, 1)
         a_t = jnp.where(ja < mg, a3.astype(jnp.int32), -1).reshape(
             G * max_m, BG
         )
@@ -380,12 +382,11 @@ def prepare_myers_inputs(a_list, b_list, k: int, max_m: int, ks=None):
         m[rows, col] = len(a)
         dlen[rows, col] = delta
         ukl[rows, col] = uL
-    a_t = np.ascontiguousarray(
-        a_rows.transpose(0, 2, 1).reshape(G * max_m, BG)
-    )
-    b_t = np.ascontiguousarray(
-        b_rows.transpose(0, 2, 1).reshape(G * MB, BG)
-    )
+    # upload ROW-major [G, BG, len] (contiguous per-pair fills, no host
+    # transpose — it measured ~40 ms per 8K x 1KB batch); the kernel
+    # wrapper transposes on device
+    a_t = a_rows
+    b_t = b_rows
 
     def decode(dist):
         # dist [G, BG] -> [B] in pair order
