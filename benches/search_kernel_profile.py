@@ -215,6 +215,183 @@ def make_kernel(needle_len, width, seg_len, *, no_dot=False, no_load=False,
     return kernel, G, OUT
 
 
+def make_chained_kernel(needle_len, width, seg_len, CH):
+    """CH independent segment-blocks advanced per loop step with their
+    Myers chains interleaved at the unroll level: if the measured 42%%-of-
+    floor gap is dependent-op LATENCY (the serial bit chain issuing below
+    1 op/cycle), interleaving should recover close to CH x until the VPU
+    issue rate saturates.  Tiled packed-step stores only (chip A/B tool).
+    """
+    m = needle_len
+    NW, SG, G, WIN = myers_search_plan(m)
+    TR = SG * G
+    WINP = needle_rows(m)
+    wS, offS = (m - 1) // WORD, (m - 1) % WORD
+    mtop = m - WORD * (NW - 1)
+    SP = 8 // G
+    OUT = _round_up(seg_len + 1, 8)
+
+    def kernel(nchar_ref, seg_ref, out_ref):
+        # seg_ref: [G*width, CH*LANES]; out_ref: [G*OUT, CH*LANES]
+        row = lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
+        sub = row if G == 1 else row & (SG - 1)
+        maskw = jnp.where(
+            sub < NW - 1, MW, jnp.where(sub == NW - 1, (1 << mtop) - 1, 0)
+        )
+        zero = jnp.zeros((TR, LANES), jnp.int32)
+        ones = jnp.ones((TR, LANES), jnp.int32)
+
+        def bnot(x):
+            return x ^ maskw
+
+        if SG > 1:
+            def roll_down(x, d):
+                return jnp.where(sub < d, 0, pltpu.roll(x, d, axis=0))
+        else:
+            def roll_down(x, d):
+                return zero
+
+        def shl1(x):
+            dn = roll_down(x, 1)
+            carry = jnp.where(sub == 0, 0, (dn >> (WORD - 1)) & 1)
+            return ((x << 1) & maskw) | carry
+
+        def add_words(x, y):
+            s = x + y
+            if NW == 1:
+                return s & maskw
+            g = s >> WORD
+            c = roll_down(g, 1)
+            if NW > 2:
+                p = jnp.where((s & maskw) == maskw, ones, zero)
+                pp = roll_down(p, 1)
+                d = 1
+                while d < NW - 1:
+                    c = c | (pp & roll_down(c, d))
+                    pp = pp & roll_down(pp, d)
+                    d <<= 1
+            return (s + c) & maskw
+
+        wr = lax.broadcasted_iota(jnp.int32, (TR, WINP), 0)
+        wc = lax.broadcasted_iota(jnp.int32, (TR, WINP), 1)
+
+        def eq_weights(u):
+            t = wc - WORD * (wr - u * SG)
+            return jnp.where(
+                (wr >= u * SG) & (wr < u * SG + NW) & (t >= 0)
+                & (t < WORD) & (wc < m),
+                (jnp.int32(1) << jnp.clip(t, 0, WORD - 1)).astype(
+                    jnp.float32),
+                0.0,
+            )
+
+        wts = [eq_weights(u) for u in range(G)]
+        nchar = nchar_ref[...]
+
+        def eq_for_step(t, c):
+            Eq_f = jnp.zeros((TR, LANES), jnp.float32)
+            lo = c * LANES
+            for u in range(G):
+                char = seg_ref[pl.ds(u * width + t - 1, 1), lo:lo + LANES]
+                eqf = jnp.where(nchar == char, 1.0, 0.0).astype(jnp.float32)
+                Eq_f = Eq_f + jnp.dot(wts[u], eqf,
+                                      preferred_element_type=jnp.float32)
+            return Eq_f.astype(jnp.int32) & maskw
+
+        def step(state, Eq):
+            Pv, Mv, S = state
+            Xh = (add_words(Eq & Pv, Pv) ^ Pv) | Eq
+            Ph = Mv | bnot(Xh | Pv)
+            Mh = Pv & Xh
+            S = S + ((Ph >> offS) & 1) - ((Mh >> offS) & 1)
+            PhS = shl1(Ph)
+            MhS = shl1(Mh)
+            Xv = Eq | Mv
+            Pv = MhS | bnot(Xv | PhS)
+            Mv = PhS & Xv
+            return (Pv, Mv, S)
+
+        s0 = jnp.full((TR, LANES), m, jnp.int32)
+
+        def tile(t0, states, pks, r_lo):
+            eqs = [[eq_for_step(t0 + r, c) for r in range(r_lo, 8)]
+                   for c in range(CH)]
+            for r in range(r_lo, 8):
+                # advance every chain one step back-to-back: the CH
+                # chains' ops are mutually independent, so the scheduler
+                # can issue them in the other chains' dependency stalls
+                for c in range(CH):
+                    states[c] = step(states[c], eqs[c][r - r_lo])
+                s = r % SP
+                sh = (s - wS) % TR
+                sel = sub if G > 1 else row
+                for c in range(CH):
+                    S = states[c][2]
+                    rolled = pltpu.roll(S, sh, axis=0) if sh else S
+                    pks[c] = rolled if SP == 1 else jnp.where(
+                        sel == s, rolled, pks[c])
+                if s == SP - 1:
+                    p = t0 // SP + r // SP
+                    for c in range(CH):
+                        lo = c * LANES
+                        out_ref[pl.ds(p * 8, 8), lo:lo + LANES] = (
+                            pks[c][0:8, :])
+            return states, pks
+
+        if SP == 1:
+            for c in range(CH):
+                lo = c * LANES
+                out_ref[pl.ds(0, 8), lo:lo + LANES] = s0[0:8, :]
+        states0 = [(maskw, zero, s0) for _ in range(CH)]
+        states, _ = tile(0, states0, [s0] * CH, 1)
+
+        def body(tb, carry):
+            sts = [tuple(carry[3 * c:3 * c + 3]) for c in range(CH)]
+            sts, _ = tile(8 * tb, sts, [zero] * CH, 0)
+            return sum((list(s) for s in sts), [])
+
+        lax.fori_loop(1, OUT // 8, body,
+                      sum((list(s) for s in states), []))
+
+    return kernel, G, OUT
+
+
+def run_chained(nchar, seg_t, m, width, seg_len, CH):
+    kernel, G, OUT = make_chained_kernel(m, width, seg_len, CH)
+    BG = seg_t.shape[1]
+    BGc = (BG // (CH * LANES)) * (CH * LANES)
+    seg_t = seg_t[:, :BGc]
+    WINP = nchar.shape[0]
+
+    @jax.jit
+    def go(nc, st):
+        out = pl.pallas_call(
+            kernel,
+            grid=(1, BGc // (CH * LANES)),
+            in_specs=[
+                pl.BlockSpec((WINP, LANES), lambda n, g: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seg_t.shape[0], CH * LANES),
+                             lambda n, g: (0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G * OUT, CH * LANES),
+                                   lambda n, g: (n, g),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G * OUT, BGc), jnp.int32),
+            interpret=jax.default_backend() != "tpu",
+        )(nc, st.astype(jnp.int32))
+        return out.sum()
+
+    int(go(nchar, seg_t))
+    best = 9e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(go(nchar, seg_t))
+        best = min(best, time.perf_counter() - t0)
+    return best, BGc / BG
+
+
 def run_variant(name, nchar, seg_t, m, width, seg_len, **abl):
     kernel, G, OUT = make_kernel(m, width, seg_len, **abl)
     BG = seg_t.shape[1]
@@ -279,6 +456,12 @@ def main():
     ]:
         dt = run_variant(name, nc, seg_d, NEEDLE_LEN, width, seg_len, **abl)
         print(f"{name:16s} {dt*1000:7.1f}ms  {N/dt/1e9:5.2f} GB/s")
+
+    for CH in (2, 4):
+        dt, frac = run_chained(nchar_d, seg_d, NEEDLE_LEN, width, seg_len,
+                               CH)
+        print(f"chains={CH:<10d} {dt*1000:7.1f}ms  "
+              f"{N*frac/dt/1e9:5.2f} GB/s")
 
 
 if __name__ == "__main__":

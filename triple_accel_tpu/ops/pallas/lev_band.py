@@ -331,12 +331,24 @@ def prepare_pallas_inputs(a_list, b_list, unit_k: int, max_m: int):
     m = np.zeros((1, B), dtype=np.int32)
     n = np.zeros((1, B), dtype=np.int32)
     c_fin = np.zeros((1, B), dtype=np.int32)
-    for p, (a, b) in enumerate(zip(a_list, b_list)):
-        a_rows[p, : len(a)] = a
-        b_rows[p, unit_k : unit_k + len(b)] = b
-        m[0, p] = len(a)
-        n[0, p] = len(b)
-        c_fin[0, p] = min(max(len(b) - len(a) + unit_k, 0), W - 1)
+    B0 = len(a_list)
+    if B0:
+        # vectorized fill: boolean-mask scatter places every pair's chars
+        # in one C-level pass (the per-pair python slice loop was the last
+        # host cost after the transpose moved on device)
+        arrs_a = [np.asarray(x, dtype=np.uint8) for x in a_list]
+        arrs_b = [np.asarray(x, dtype=np.uint8) for x in b_list]
+        la = np.fromiter((x.size for x in arrs_a), np.int64, B0)
+        lb = np.fromiter((x.size for x in arrs_b), np.int64, B0)
+        ja = np.arange(max_m)
+        a_rows[:B0][ja[None, :] < la[:, None]] = np.concatenate(arrs_a)
+        jb = np.arange(max_m + W)
+        b_rows[:B0][
+            (jb[None, :] >= unit_k) & (jb[None, :] < unit_k + lb[:, None])
+        ] = np.concatenate(arrs_b)
+        m[0, :B0] = la
+        n[0, :B0] = lb
+        c_fin[0, :B0] = np.clip(lb - la + unit_k, 0, W - 1)
     return a_rows, b_rows, m, n, c_fin
 
 

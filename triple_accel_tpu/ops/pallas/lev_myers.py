@@ -368,20 +368,51 @@ def prepare_myers_inputs(a_list, b_list, k: int, max_m: int, ks=None):
     m = np.zeros((8, BG), dtype=np.int32)
     dlen = np.zeros((8, BG), dtype=np.int32)
     ukl = np.zeros((8, BG), dtype=np.int32)
-    for p, (a, b) in enumerate(zip(a_list, b_list)):
-        g, r = divmod(p, G * LANES)
-        u, lane = divmod(r, LANES)
-        col = g * LANES + lane
-        kp = k if ks is None else min(int(ks[p]), k)
-        delta = len(b) - len(a)
-        assert 0 <= delta <= kp <= k and len(a) <= max_m
+    if B:
+        # vectorized fill: one boolean-mask scatter per buffer (the
+        # per-pair python slice loop was the dominant prep cost); chars
+        # concatenate in (u, col) destination-row order so the mask's
+        # row-major True positions line up
+        arrs_a = [np.asarray(x, dtype=np.uint8) for x in a_list]
+        arrs_b = [np.asarray(x, dtype=np.uint8) for x in b_list]
+        la = np.fromiter((x.size for x in arrs_a), np.int64, B)
+        lb = np.fromiter((x.size for x in arrs_b), np.int64, B)
+        p_arr = np.arange(B)
+        g_arr, r_arr = np.divmod(p_arr, G * LANES)
+        u_arr, lane_arr = np.divmod(r_arr, LANES)
+        col = g_arr * LANES + lane_arr
+        kp = (np.full(B, k, np.int64) if ks is None
+              else np.minimum(np.asarray(ks, np.int64)[:B], k))
+        delta = lb - la
+        assert np.all((0 <= delta) & (delta <= kp) & (kp <= k)
+                      & (la <= max_m))
         uL = (kp - delta) // 2
-        a_rows[u, col, : len(a)] = a
-        b_rows[u, col, uL : uL + len(b)] = b
-        rows = slice(u * SG, u * SG + SG)
-        m[rows, col] = len(a)
-        dlen[rows, col] = delta
-        ukl[rows, col] = uL
+        key = u_arr * BG + col  # destination row in the [G*BG, len] views
+        perm = np.argsort(key, kind="stable")
+        la_row = np.zeros(G * BG, np.int64)
+        la_row[key] = la
+        off_row = np.zeros(G * BG, np.int64)
+        off_row[key] = uL
+        lb_row = np.zeros(G * BG, np.int64)
+        lb_row[key] = lb
+        ja = np.arange(max_m)
+        a_rows.reshape(G * BG, max_m)[
+            ja[None, :] < la_row[:, None]
+        ] = np.concatenate([arrs_a[i] for i in perm])
+        jb = np.arange(MB)
+        b_rows.reshape(G * BG, MB)[
+            (jb[None, :] >= off_row[:, None])
+            & (jb[None, :] < (off_row + lb_row)[:, None])
+        ] = np.concatenate([arrs_b[i] for i in perm])
+        m_g = np.zeros((G, BG), np.int32)
+        m_g[u_arr, col] = la
+        d_g = np.zeros((G, BG), np.int32)
+        d_g[u_arr, col] = delta
+        u_g = np.zeros((G, BG), np.int32)
+        u_g[u_arr, col] = uL
+        m[:] = np.repeat(m_g, SG, axis=0)
+        dlen[:] = np.repeat(d_g, SG, axis=0)
+        ukl[:] = np.repeat(u_g, SG, axis=0)
     # upload ROW-major [G, BG, len] (contiguous per-pair fills, no host
     # transpose — it measured ~40 ms per 8K x 1KB batch); the kernel
     # wrapper transposes on device
