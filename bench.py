@@ -55,11 +55,16 @@ def main():
     *args, decode = prepare_myers_inputs(a_list, b_list, K, MAX_M)
     args = [jax.device_put(x) for x in args]
 
+    # BENCH_CHAINS=2 A/Bs the interleaved-chain variant (two independent
+    # 128-lane blocks per grid step fill the serial bit chain's dependent-
+    # op issue stalls); identical results, only scheduling differs
+    CHAINS = int(os.environ.get("BENCH_CHAINS", "1"))
+
     def run():
         # the dispatcher's unit-cost fast path: bit-parallel Myers kernel
         # (ops/pallas/lev_myers.py); levenshtein_k_batch routes here too
         return myers_distance_pallas(
-            *args, k=K, max_m=MAX_M, interpret=not on_tpu
+            *args, k=K, max_m=MAX_M, interpret=not on_tpu, chains=CHAINS
         )
 
     # warmup/compile

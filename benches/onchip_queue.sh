@@ -1,0 +1,35 @@
+#!/bin/bash
+# Queued on-chip work for tunnel recovery (round 3).  Runs each item
+# under its own log in /tmp/onchip_r3/; safe to re-run (items skip if
+# their .done marker exists).  Usage: bash benches/onchip_queue.sh
+set -u
+cd /root/repo
+OUT=/tmp/onchip_r3
+mkdir -p "$OUT"
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/tmp/ta_tpu_jax_cache
+
+run() {  # run <name> <timeout-s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  if [ -e "$OUT/$name.done" ]; then echo "skip $name"; return; fi
+  echo "=== $name: $* ==="
+  if timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1; then
+    touch "$OUT/$name.done"; echo "ok $name"
+  else
+    echo "FAIL $name (exit $?) — see $OUT/$name.log"
+  fi
+}
+
+# 1. verify demo (user-style flows on the chip)
+run verify 1200 env -C /tmp/verify_ta python demo.py
+# 2. distance-kernel chains A/B (headline metric)
+run bench_ch1 2400 env BENCH_CHAINS=1 python bench.py
+run bench_ch2 2400 env BENCH_CHAINS=2 python bench.py
+# 3. search kernel attribution (packed stores, compare window, chains)
+run prof_m24 2400 env PROF_MB=64 PROF_M=24 python benches/search_kernel_profile.py
+run prof_m120 2400 env PROF_MB=16 PROF_M=120 python benches/search_kernel_profile.py
+# 4. compiled-kernel fuzz — 0 mismatches is the bar
+run fuzz 5400 python benches/tpu_fuzz.py
+# 5. search bench headline
+run bench_search 2400 python bench_search.py
+echo "queue complete; logs in $OUT"

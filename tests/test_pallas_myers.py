@@ -68,6 +68,30 @@ def test_myers_kernel_matches_oracle(k, max_m):
             assert got > k, f"pair {p}: false accept {got} <= {k} < {e}"
 
 
+@pytest.mark.parametrize("k,max_m,B", [(8, 64, 4096), (32, 64, 2048),
+                                       (130, 48, 512)])
+def test_myers_distance_chains_identical(k, max_m, B):
+    """chains=2 (two interleaved 128-lane blocks per grid step, the
+    dependent-op latency filler) must be bit-identical to chains=1 across
+    the G = 8 / 4 / 1 packing regimes."""
+    rng = np.random.default_rng(77 + k)
+    a_list, b_list = [], []
+    for _ in range(B):
+        la = int(rng.integers(1, max_m))
+        x = rng.integers(0, 256, la).astype(np.uint8)
+        y = x.copy()
+        if la > 3:
+            y[rng.integers(0, la, min(3, k))] = 1
+        a_list.append(x)
+        b_list.append(y)
+    *args, decode = prepare_myers_inputs(a_list, b_list, k, max_m)
+    d1 = decode(myers_distance_pallas(*args, k=k, max_m=max_m,
+                                      interpret=True))
+    d2 = decode(myers_distance_pallas(*args, k=k, max_m=max_m,
+                                      interpret=True, chains=2))
+    assert np.array_equal(d1, d2)
+
+
 def test_myers_plan_limits():
     assert myers_plan(19) == (1, 1, 8, 20)
     assert myers_plan(32) == (2, 2, 4, 40)

@@ -81,17 +81,22 @@ def myers_plan(k: int):
     return NW, SG, G, WIN
 
 
-def _make_kernel(k: int, max_m: int):
+def _make_kernel(k: int, max_m: int, chains: int = 1):
     NW, SG, G, WIN = myers_plan(k)
     Wp = NW * WORD  # padded window bits (extra top bits only widen the band)
     topw = NW - 1
     topoff = (Wp - 1) % WORD
+    CH = chains
 
     def kernel(a_ref, b_ref, m_ref, dlen_ref, ukl_ref, out_ref):
-        # a_ref:    [G*max_m, LANES]        chars of a per block (-1 padded)
-        # b_ref:    [G*(max_m+WIN), LANES]  chars of b at per-pair offset ukl
-        # m/dlen/ukl_ref: [8, LANES]        per-pair len(a), len(b)-len(a),
+        # a_ref:    [G*max_m, CH*LANES]        chars of a per block (-1 pad)
+        # b_ref:    [G*(max_m+WIN), CH*LANES]  chars of b at per-pair ukl
+        # m/dlen/ukl_ref: [8, CH*LANES]        per-pair len(a), len(b)-len(a),
         #     ukL — pre-expanded on the host onto each block's subgroup rows
+        # chains > 1: CH independent 128-lane blocks advance per loop step
+        # with their bit chains interleaved — the serial Myers chain issues
+        # below 1 op/cycle on dependent ops, and the other chains' ops fill
+        # those stalls (measured A/B via BENCH_CHAINS / dispatcher default)
         row = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
         sub = row & (SG - 1)  # word index within the subgroup
         ones = jnp.ones((8, LANES), jnp.int32)
@@ -99,9 +104,11 @@ def _make_kernel(k: int, max_m: int):
         top_tile = jnp.where(sub == topw, jnp.int32(1) << topoff, 0)
         zero = jnp.zeros((8, LANES), jnp.int32)
 
-        m_tile = m_ref[...]
-        ukl_tile = ukl_ref[...]
-        dlen_tile = dlen_ref[...]
+        m_tiles = [m_ref[:, c * LANES:(c + 1) * LANES] for c in range(CH)]
+        ukl_tiles = [ukl_ref[:, c * LANES:(c + 1) * LANES]
+                     for c in range(CH)]
+        dlen_tiles = [dlen_ref[:, c * LANES:(c + 1) * LANES]
+                      for c in range(CH)]
 
         def bnot(x):
             return x ^ maskw
@@ -160,17 +167,22 @@ def _make_kernel(k: int, max_m: int):
         )
 
         # virtual-column mask base: bits p <= ukL - i  <->  p < ukL - i + 1
-        vbase = ukl_tile + 1 - WORD * sub
+        vbases = [uk + 1 - WORD * sub for uk in ukl_tiles]
 
         ph0 = maskw
-        a0 = -ukl_tile - 1  # A_0 = D[0, -ukL-1] (virtual row 0: D[0,j] = j)
-        state0 = (ph0, zero, a0, ph0, zero, a0)
+        # A_0 = D[0, -ukL-1] (virtual row 0: D[0,j] = j)
+        states0 = [
+            (ph0, zero, -uk - 1, ph0, zero, -uk - 1) for uk in ukl_tiles
+        ]
 
-        def eq_for_row(i):
+        def eq_for_row(i, c):
+            lo = c * LANES
             eqs = []
             for u in range(G):
-                a_char = a_ref[pl.ds(u * max_m + i - 1, 1), :]
-                bwin = b_ref[pl.ds(u * (max_m + WIN) + i - 1, WIN), :]
+                a_char = a_ref[pl.ds(u * max_m + i - 1, 1), lo:lo + LANES]
+                bwin = b_ref[
+                    pl.ds(u * (max_m + WIN) + i - 1, WIN), lo:lo + LANES
+                ]
                 eqs.append(
                     jnp.where(bwin == a_char, 1.0, 0.0).astype(jnp.float32)
                 )
@@ -179,7 +191,7 @@ def _make_kernel(k: int, max_m: int):
                 wt_all, eqf, preferred_element_type=jnp.float32
             ).astype(jnp.int32) & maskw
 
-        def step(i, state, Eq, with_virtual):
+        def step(i, state, Eq, with_virtual, c):
             Ph, Mh, A, rP, rM, rA = state
             # anchor: A_i = D[i, i-ukL-1] = D[i-1, (i-1)-ukL] + 1
             A = A + (Ph & 1) - (Mh & 1) + 1
@@ -193,7 +205,7 @@ def _make_kernel(k: int, max_m: int):
             Mv = PhI & X
             if with_virtual:
                 # virtual columns j <= 0: force dv = +1 (and dh below)
-                vbits = jnp.clip(vbase - i, 0, WORD)
+                vbits = jnp.clip(vbases[c] - i, 0, WORD)
                 vmask = ((jnp.int32(1) << vbits) - 1) & maskw
                 nvmask = bnot(vmask)
                 Pv = Pv | vmask
@@ -207,7 +219,7 @@ def _make_kernel(k: int, max_m: int):
                 Ph = Ph | vmask
                 Mh = Mh & nvmask
 
-            at_m = i == m_tile
+            at_m = i == m_tiles[c]
             rP = jnp.where(at_m, Ph, rP)
             rM = jnp.where(at_m, Mh, rM)
             rA = jnp.where(at_m, A, rA)
@@ -222,13 +234,19 @@ def _make_kernel(k: int, max_m: int):
         def make_body(with_virtual: bool):
             # several rows per iteration: each row's Eq pipeline (slices,
             # compares, MXU dot) is independent of the previous row's bit
-            # chain, so the compiler overlaps MXU and VPU work
-            def body(t, state):
+            # chain, so the compiler overlaps MXU and VPU work; with
+            # CH > 1 the chains' mutually independent steps additionally
+            # interleave within each row
+            def body(t, flat):
+                states = [tuple(flat[6 * c:6 * c + 6]) for c in range(CH)]
                 i0 = UN * (t - 1) + 1
-                eqs = [eq_for_row(i0 + r) for r in range(UN)]
+                eqs = [[eq_for_row(i0 + r, c) for r in range(UN)]
+                       for c in range(CH)]
                 for r in range(UN):
-                    state = step(i0 + r, state, eqs[r], with_virtual)
-                return state
+                    for c in range(CH):
+                        states[c] = step(i0 + r, states[c], eqs[c][r],
+                                         with_virtual, c)
+                return sum((list(s) for s in states), [])
 
             return body
 
@@ -237,14 +255,11 @@ def _make_kernel(k: int, max_m: int):
         # Bounds are in UN-row steps.
         assert max_m % UN == 0
         split_u = min((k // 2 + UN) // UN, max_m // UN)
-        state1 = lax.fori_loop(1, split_u + 1, make_body(True), state0)
-        _, _, _, rP, rM, rA = lax.fori_loop(
-            split_u + 1, max_m // UN + 1, make_body(False), state1
+        flat0 = sum((list(s) for s in states0), [])
+        flat1 = lax.fori_loop(1, split_u + 1, make_body(True), flat0)
+        flat2 = lax.fori_loop(
+            split_u + 1, max_m // UN + 1, make_body(False), flat1
         )
-
-        # D[m, n] = A_m + sum of dh[m] bits p in [0, dlen + ukL]
-        hi_b = jnp.clip(dlen_tile + ukl_tile + 1 - WORD * sub, 0, WORD)
-        sel = ((jnp.int32(1) << hi_b) - 1) & maskw
 
         def popcount(x):
             x = x - ((x >> 1) & 0x55555555)
@@ -252,23 +267,31 @@ def _make_kernel(k: int, max_m: int):
             x = (x + (x >> 4)) & 0x0F0F0F0F
             return (x * 0x01010101) >> 24
 
-        pops = popcount(rP & sel) - popcount(rM & sel)
-        # sum each subgroup's words onto its first row
-        acc = pops
-        d = 1
-        while d < SG:
-            acc = acc + roll_up(acc, d)
-            d <<= 1
-        res = rA + acc  # valid at rows u*SG
-        for u in range(G):
-            out_ref[u : u + 1, :] = res[u * SG : u * SG + 1, :]
+        for c in range(CH):
+            _, _, _, rP, rM, rA = flat2[6 * c:6 * c + 6]
+            # D[m, n] = A_m + sum of dh[m] bits p in [0, dlen + ukL]
+            hi_b = jnp.clip(
+                dlen_tiles[c] + ukl_tiles[c] + 1 - WORD * sub, 0, WORD
+            )
+            sel = ((jnp.int32(1) << hi_b) - 1) & maskw
+            pops = popcount(rP & sel) - popcount(rM & sel)
+            # sum each subgroup's words onto its first row
+            acc = pops
+            d = 1
+            while d < SG:
+                acc = acc + roll_up(acc, d)
+                d <<= 1
+            res = rA + acc  # valid at rows u*SG
+            lo = c * LANES
+            for u in range(G):
+                out_ref[u:u + 1, lo:lo + LANES] = res[u * SG:u * SG + 1, :]
 
     return kernel, G, WIN
 
 
 @partial(
     jax.jit,
-    static_argnames=("k", "max_m", "interpret"),
+    static_argnames=("k", "max_m", "interpret", "chains"),
 )
 def myers_distance_pallas(
     a_t: jnp.ndarray,  # [G*max_m, B/G] int32 (see prepare_myers_inputs)
@@ -280,17 +303,24 @@ def myers_distance_pallas(
     k: int,
     max_m: int,
     interpret: bool = False,
+    chains: int = 1,
 ):
     """Bit-parallel banded unit-cost distance; returns dist [G, B/G] int32
     (pair p lives at [u, g*128+lane], p = (g*G + u)*128 + lane).
 
     Exact wherever the true distance <= the pair's threshold (any value
     <= k with ukl set accordingly); never under-estimates above it.
+
+    `chains` > 1 advances that many independent 128-lane blocks per grid
+    step with interleaved bit chains (fills dependent-op issue stalls);
+    identical results, requires BG % (chains*128) == 0 and >= 2 grid
+    steps.
     """
-    kernel, G, WIN = _make_kernel(k, max_m)
+    CH = chains
+    kernel, G, WIN = _make_kernel(k, max_m, chains=CH)
     BG = m.shape[1]  # m is [8, BG] in both input layouts
-    assert BG % LANES == 0
-    grid = (BG // LANES,)
+    assert BG % (CH * LANES) == 0 and BG // (CH * LANES) >= 2, (BG, CH)
+    grid = (BG // (CH * LANES),)
     # strings arrive as raw uint8 with 0-valued pads in ROW-major
     # [G, BG, len] order (a quarter of the transfer, no host transpose);
     # transpose on device and rebuild the -1/-2 pad sentinels from
@@ -315,22 +345,23 @@ def myers_distance_pallas(
         b_t = jnp.where(
             (jb >= ug) & (jb < ug + ng), b3.astype(jnp.int32), -2
         ).reshape(G * MB, BG)
+    CL = CH * LANES
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((G * max_m, LANES), lambda g: (0, g),
+            pl.BlockSpec((G * max_m, CL), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * (max_m + WIN), LANES), lambda g: (0, g),
+            pl.BlockSpec((G * (max_m + WIN), CL), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda g: (0, g),
+            pl.BlockSpec((8, CL), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda g: (0, g),
+            pl.BlockSpec((8, CL), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda g: (0, g),
+            pl.BlockSpec((8, CL), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, LANES), lambda g: (0, g),
+        out_specs=pl.BlockSpec((G, CL), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, BG), jnp.int32),
         interpret=interpret,
