@@ -105,6 +105,27 @@ def main():
                                                   SearchType.All)
         )
 
+    # group 2b: hamming search regimes on a big haystack — dense (the
+    # blessed default k = ceil(m/2) on low-complexity text makes every
+    # block a candidate; one native streaming pass) and sparse (one
+    # planted match; gathered blocks only, no O(n) counts array)
+    HN = (1 << 20) if quick else (1 << 22)
+    m = 32
+    hay = RNG.integers(65, 67, HN).astype(np.uint8)  # 2-symbol text
+    needle_d = RNG.integers(65, 67, m).astype(np.uint8)
+    kd = (m + 1) // 2  # default_hamming_k
+    dt = timeit(lambda: hamming_search_simd_with_opts(
+        needle_d, hay, kd, SearchType.All))
+    results["hamming_search_dense_mb_per_sec"] = HN / dt / 1e6
+    hay_s = RNG.integers(0, 250, HN).astype(np.uint8)
+    needle_s = np.full(m, 251, dtype=np.uint8)
+    hay_s[HN // 2 : HN // 2 + m] = needle_s
+    got = hamming_search_simd_with_opts(needle_s, hay_s, 0, SearchType.All)
+    assert [h.start for h in got] == [HN // 2], got[:3]
+    dt = timeit(lambda: hamming_search_simd_with_opts(
+        needle_s, hay_s, 0, SearchType.All))
+    results["hamming_search_sparse_mb_per_sec"] = HN / dt / 1e6
+
     # groups 3+4: levenshtein distance, single + batched
     # (rand_benchmarks.rs:61-98)
     for L in sizes:

@@ -112,6 +112,27 @@ def test_hamming_search_null_bytes_supported_on_device():
     assert res == [Match(start=2, end=5, k=0)]
 
 
+def test_hamming_search_sparse_candidates():
+    """One matching region in a large random haystack: the device path
+    takes the sparse branch (gathered blocks only, no O(n) counts
+    array) and must agree with the streaming oracle in both modes."""
+    rng = np.random.default_rng(55)
+    hay = rng.integers(0, 250, 60_000).astype(np.uint8)
+    needle = np.full(24, 251, dtype=np.uint8)  # alphabet-disjoint
+    mut = needle.copy()
+    mut[5] = 0
+    hay[30_000 : 30_024] = mut
+    for st in (SearchType.All, SearchType.Best):
+        ref = hamming_search_naive_with_opts(needle, hay, 3, st)
+        got = hamming_search_simd_with_opts(needle, hay, 3, st)
+        assert got == ref, st
+        # the uniform needle also hits at +-2 shifts (k<=3); the planted
+        # position is the k=1 hit and the Best-mode sole survivor
+        assert Match(start=30_000, end=30_024, k=1) in got
+        if st == SearchType.Best:
+            assert got == [Match(start=30_000, end=30_024, k=1)]
+
+
 def test_hamming_batch():
     a = np.array([[1, 2, 3, 0], [5, 5, 5, 5]], dtype=np.uint8)
     b = np.array([[1, 9, 3, 0], [5, 5, 0, 0]], dtype=np.uint8)

@@ -456,3 +456,54 @@ def test_search_many_long_needles():
             nd, hay, 5, SearchType.All, LEVENSHTEIN_COSTS, False
         )
         assert res[i] == ref, i
+
+
+def test_search_many_mixed_length_halo_is_per_group():
+    """A long needle's window span must NOT inflate the halo of a short
+    G=8 needle group (the shared pack's halo is per subgroup-width G):
+    the G=8 subgroup kernel budget is ~368 rows, and a 700-char needle's
+    768-row quantized halo would blow its VMEM blocks on chip.  Asserts
+    the logged halo of every subgroup-engine group stays within
+    myers_halo_budget, and results stay exact."""
+    import os
+
+    from triple_accel_tpu.dispatch import dispatch_history
+    from triple_accel_tpu.levenshtein import levenshtein_search_many
+    from triple_accel_tpu.oracle import levenshtein_search_naive_with_opts
+    from triple_accel_tpu.ops.pallas.search_myers import (
+        myers_halo_budget,
+        myers_search_plan,
+    )
+    from triple_accel_tpu.types import LEVENSHTEIN_COSTS, SearchType
+
+    rng = np.random.default_rng(71)
+    short = rng.integers(60, 80, 20).astype(np.uint8)
+    long_nd = rng.integers(60, 80, 700).astype(np.uint8)
+    hay = rng.integers(60, 80, 2000).astype(np.uint8)
+    hay[100:120] = short
+    mut = long_nd.copy()
+    mut[rng.integers(0, 700, 2)] = 60
+    hay[900:1600] = mut
+    dispatch_history(clear=True)
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        res = levenshtein_search_many(
+            [short, long_nd], hay, 3, SearchType.All
+        )
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+    logged = {
+        d.padded_m: d.unit_k  # (m, halo) per shared launch
+        for _, d in dispatch_history()
+        if d.path == "myers_search_many"
+    }
+    assert set(logged) == {20, 700}, logged
+    for m, halo in logged.items():
+        assert halo <= myers_halo_budget(m), (m, halo)
+    g8 = myers_search_plan(20)[2]
+    assert g8 == 8 and logged[20] == 256, logged  # own cohort's span only
+    for nd, got in zip([short, long_nd], res):
+        ref = levenshtein_search_naive_with_opts(
+            nd, hay, 3, SearchType.All, LEVENSHTEIN_COSTS, False
+        )
+        assert got == ref, len(nd)

@@ -168,33 +168,55 @@ def hamming_search_simd_with_opts(
     padded[cand.size :] = cand[-1]
     blocks = np.asarray(hamming_gather_blocks(counts_d, padded))
 
-    # scatter the fetched blocks into a sparse full-counts array (sentinel
-    # above k elsewhere — exact because every unfetched position's count
-    # exceeds kk) and run ONE streaming pass over it: the native C++ pass
-    # (native/postprocess.cpp ta_postprocess_hamming) when built, else
-    # vectorized numpy.  With the blessed default k = ceil(m/2) on
-    # low-complexity text every block is a candidate, and this used to be
-    # a per-position Python loop (the reference's streaming iterator is
-    # compiled; hamming.rs:477-554).
     n_pos = n - m + 1
-    sent = np.int64(max(k, m)) + 1
-    counts_full = np.full(n_pos, sent, dtype=np.int64)
     bases = cand.astype(np.int64) * BLOCK
     blk = blocks[: cand.size].astype(np.int64)
     pos = bases[:, None] + np.arange(BLOCK, dtype=np.int64)[None, :]
     ok = pos < n_pos
+    best = search_type == SearchType.Best
+
+    if cand.size * BLOCK < n_pos // 4:
+        # sparse candidates: never materialize an O(n) counts array (8
+        # bytes per haystack byte!) for a handful of blocks — the fetched
+        # blocks already hold every position that can be a hit (every
+        # unfetched position's count exceeds kk).  Positions come out
+        # sorted: cand is ascending and blocks are disjoint.
+        hpos, hcnt = pos[ok], blk[ok]
+        keep = hcnt <= k
+        hpos, hcnt = hpos[keep], hcnt[keep]
+        if best and hpos.size:
+            # streaming Best keeps exactly the candidates at the final
+            # curr_k == global minimum (no overlap dedup in hamming
+            # search)
+            at_min = hcnt == hcnt.min()
+            hpos, hcnt = hpos[at_min], hcnt[at_min]
+        return [
+            Match(start=int(p), end=int(p) + m, k=int(c))
+            for p, c in zip(hpos, hcnt)
+        ]
+
+    # dense candidates: scatter the fetched blocks into a full-counts
+    # array (sentinel above k elsewhere — exact, see above) and run ONE
+    # streaming pass over it: the native C++ pass (native/postprocess.cpp
+    # ta_postprocess_hamming) when built, else vectorized numpy.  With
+    # the blessed default k = ceil(m/2) on low-complexity text every
+    # block is a candidate, and this used to be a per-position Python
+    # loop (the reference's streaming iterator is compiled;
+    # hamming.rs:477-554).
+    sent = np.int64(max(min(k, m), m)) + 1  # every real count is < sent;
+    # sentinel positions (count > kk) only survive the <=k test when
+    # k < m, where sent = m+1 > k — when k >= m every block is a
+    # candidate (block mins <= m always) so no sentinel remains
+    counts_full = np.full(n_pos, sent, dtype=np.int64)
     counts_full[pos[ok]] = blk[ok]
 
     from .utils.native import postprocess_hamming_native
 
-    best = search_type == SearchType.Best
     native = postprocess_hamming_native(counts_full, m, k, best)
     if native is not None:
         return native
     hits = np.flatnonzero(counts_full <= k)
     if best and hits.size:
-        # streaming Best keeps exactly the candidates at the final
-        # curr_k == global minimum (no overlap dedup in hamming search)
         gmin = counts_full[hits].min()
         hits = hits[counts_full[hits] == gmin]
     return [

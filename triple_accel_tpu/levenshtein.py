@@ -1630,9 +1630,15 @@ def levenshtein_search_many(
 
     # two passes: plan every group first, then share ONE packed haystack
     # per distinct subgroup width G (the packed layout depends only on G
-    # and the chunking) — a shared quantized halo makes every group's
-    # chunking identical, so mixed-length dictionaries pay the host-side
-    # segment transpose and the device upload once per G, not per length
+    # and the chunking) — a per-G quantized halo (max over that G's
+    # groups) makes every same-G group's chunking identical, so
+    # mixed-length dictionaries pay the device upload once per G, not
+    # per length.  The halo is per G, not global: G=8 short-needle packs
+    # have an 8x smaller VMEM budget than a G=1 long-needle pack, and a
+    # long needle's window span must not blow the short groups past
+    # myers_halo_budget (same guard as the single-needle dispatcher).
+    from .ops.pallas.search_myers import myers_halo_budget
+
     planned = []
     for m, idxs in sorted(by_len.items()):
         msplan = myers_search_plan(m)
@@ -1645,16 +1651,25 @@ def levenshtein_search_many(
         planned.append((m, idxs, msplan))
 
     pack_cache: dict = {}
-    if planned:
-        halo_all = min(
-            -(-max(window_span(m, k, 1, 0) for m, _, _ in planned)
-              // 256) * 256,
-            n,
-        )
+    halo_by_g: dict = {}
+    for m, _, msplan in planned:
+        G = msplan[2]
+        h = min(-(-window_span(m, k, 1, 0) // 256) * 256, n)
+        halo_by_g[G] = max(halo_by_g.get(G, 0), h)
 
     for m, idxs, msplan in planned:
         G = msplan[2]
-        halo = halo_all
+        halo = halo_by_g[G]
+        if halo > myers_halo_budget(m):
+            # the shared pack's halo would leave the subgroup kernel's
+            # owned segment below 128 chars (VMEM overflow); route these
+            # needles through the single-needle dispatcher, whose
+            # blocked/chunked engines absorb any halo
+            for i in idxs:
+                results[i] = levenshtein_search_simd_with_opts(
+                    needles[i], haystack, k, search_type, costs, False
+                )
+            continue
         if G not in pack_cache:
             own = min(suggest_own_len(m, halo), round_up_pow2(n, 128))
             if packed is None:

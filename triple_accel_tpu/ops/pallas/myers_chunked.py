@@ -40,7 +40,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .search_myers import LANES, MW, SW, WORD, _round_up
+from .search_myers import (
+    LANES,
+    MW,
+    SW,
+    WORD,
+    _round_up,
+    make_eq_weights,
+    make_word_ops,
+)
 
 __all__ = [
     "blocked_distance_chunked",
@@ -59,27 +67,40 @@ TC = 1024  # text columns per grid step
 _PREFILL_ANCHORED = (1 << 1) | (1 << 4)
 
 
-def _make_distance_kernel(damerau: bool):
+def _make_distance_kernel(damerau: bool, chain: bool = True):
     """Kernel for ONE needle strip sweeping all text chunks.
 
     Per-lane shapes: maskw, score word/bit, and the capture column all
     come from input rows, so the same compiled kernel serves every strip
     (the strip's word base arrives via `sbase`) and every pair in the
-    batch."""
+    batch.
+
+    `chain=False` builds the single-strip variant: no boundary-bit HBM
+    arrays at all (the strip-0 prefill is synthesized in-register and
+    nothing consumes a last strip's bits) — for n_strips == 1 the bits
+    stream would be pure HBM write traffic on an HBM-bound kernel."""
     TR = SW
     WINP = SW * WORD
+    prefill = _PREFILL_ANCHORED if damerau else (1 << 1)
 
-    def kernel(nchar_ref, seg_ref, bits_in_ref, sbase_ref, mrow_ref,
-               nrow_ref, wg_ref, offs_ref, nwt_ref, ain_ref,
-               bits_out_ref, aout_ref,
-               pv_s, mv_s, eqp_s, d0p_s, d0row_s):
+    def kernel(*refs):
         # nchar_ref: [WINP, LANES]  this strip's needle chars (-1 pad)
         # seg_ref:   [TC, LANES]    text chars rows c*TC..c*TC+TC-1
         # bits_*:    [TC, LANES]    boundary bits for columns t = row+1
+        #                           (chain=True only)
         # sbase/mrow/nrow/wg/offs/nwt: [1, LANES] per-lane scalars
         # a*:        [SW, LANES]    score accumulator, frozen past t == n
         # scratch:   Pv/Mv/EqP/D0P [SW, LANES] persist across chunks,
         #            d0row [8, LANES] (row 0) the previous column's D0 top
+        if chain:
+            (nchar_ref, seg_ref, bits_in_ref, sbase_ref, mrow_ref,
+             nrow_ref, wg_ref, offs_ref, nwt_ref, ain_ref,
+             bits_out_ref, aout_ref,
+             pv_s, mv_s, eqp_s, d0p_s, d0row_s) = refs
+        else:
+            (nchar_ref, seg_ref, sbase_ref, mrow_ref,
+             nrow_ref, wg_ref, offs_ref, nwt_ref, ain_ref, aout_ref,
+             pv_s, mv_s, eqp_s, d0p_s, d0row_s) = refs
         c = pl.program_id(1)
         row = lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
         sbase = sbase_ref[0:1, :]
@@ -100,45 +121,9 @@ def _make_distance_kernel(damerau: bool):
             ),
         )
         zero = jnp.zeros((TR, LANES), jnp.int32)
-        ones = jnp.ones((TR, LANES), jnp.int32)
         own = (gw == wg_row) & (m_row > 0)  # the score row, per lane
-
-        def bnot(x):
-            return x ^ maskw
-
-        def roll_down(x, d):
-            return jnp.where(row < d, 0, pltpu.roll(x, d, axis=0))
-
-        def shl1(x, bit0_row):
-            dn = roll_down(x, 1)
-            carry = jnp.where(row == 0, bit0_row, (dn >> (WORD - 1)) & 1)
-            return ((x << 1) & maskw) | carry
-
-        def add_words(x, y, cin_row):
-            ssum = x + y
-            g = ssum >> WORD
-            cr = roll_down(g, 1)
-            cr = jnp.where(row == 0, cr | cin_row, cr)
-            p = jnp.where((ssum & maskw) == maskw, ones, zero)
-            pp = roll_down(p, 1)
-            d = 1
-            while d < SW:
-                cr = cr | (pp & roll_down(cr, d))
-                pp = pp & roll_down(pp, d)
-                d <<= 1
-            full = ssum + cr
-            return full & maskw, (full >> WORD) & 1
-
-        wr = lax.broadcasted_iota(jnp.int32, (TR, WINP), 0)
-        wc = lax.broadcasted_iota(jnp.int32, (TR, WINP), 1)
-        tloc = wc - WORD * wr
-        wts = jnp.where(
-            (tloc >= 0) & (tloc < WORD),
-            (jnp.int32(1) << jnp.clip(tloc, 0, WORD - 1)).astype(
-                jnp.float32
-            ),
-            0.0,
-        )
+        bnot, roll_down, shl1, add_words = make_word_ops(row, maskw, SW)
+        wts = make_eq_weights(TR, WINP)
         nchar = nchar_ref[...]
 
         def eq_for_step(r):
@@ -162,7 +147,10 @@ def _make_distance_kernel(damerau: bool):
             # column t = c*TC + r + 1 (global); block row r everywhere
             Pv, Mv, A, EqP, D0P, d0p_row = state
             Eq = eq_for_step(r)
-            bits = bits_in_ref[pl.ds(r, 1), :]
+            if chain:
+                bits = bits_in_ref[pl.ds(r, 1), :]
+            else:
+                bits = jnp.full((1, LANES), prefill, jnp.int32)
             cin = bits & 1
             ph_in = (bits >> 1) & 1
             mh_in = (bits >> 2) & 1
@@ -184,25 +172,28 @@ def _make_distance_kernel(damerau: bool):
             contrib = ((Ph >> offs_row) & 1) - ((Mh >> offs_row) & 1)
             A = A + jnp.where(own & (t_glob <= n_row), contrib, 0)
             top = TR - 1
-            bits_out = (
-                cout[top : top + 1, :]
-                | (((Ph[top : top + 1, :] >> (WORD - 1)) & 1) << 1)
-                | (((Mh[top : top + 1, :] >> (WORD - 1)) & 1) << 2)
-            )
+            if chain:
+                bits_out = (
+                    cout[top : top + 1, :]
+                    | (((Ph[top : top + 1, :] >> (WORD - 1)) & 1) << 1)
+                    | (((Mh[top : top + 1, :] >> (WORD - 1)) & 1) << 2)
+                )
             PhS = shl1(Ph, ph_in)
             MhS = shl1(Mh, mh_in)
             if damerau:
                 D0 = Xh | Mv
                 Pv = MhS | bnot(D0 | PhS)
                 Mv = PhS & D0
-                bits_out = bits_out | (
-                    ((Eq[top : top + 1, :] >> (WORD - 1)) & 1) << 3
-                ) | (((D0[top : top + 1, :] >> (WORD - 1)) & 1) << 4)
+                if chain:
+                    bits_out = bits_out | (
+                        ((Eq[top : top + 1, :] >> (WORD - 1)) & 1) << 3
+                    ) | (((D0[top : top + 1, :] >> (WORD - 1)) & 1) << 4)
             else:
                 Xv = Eq | Mv
                 Pv = MhS | bnot(Xv | PhS)
                 Mv = PhS & Xv
-            bits_out_ref[pl.ds(r, 1), :] = bits_out
+            if chain:
+                bits_out_ref[pl.ds(r, 1), :] = bits_out
             if damerau:
                 return (Pv, Mv, A, Eq, D0, (bits >> 4) & 1)
             return (Pv, Mv, A, EqP, D0P, d0p_row)
@@ -242,19 +233,32 @@ def blocked_distance_chunked(
 ):
     """Exact unit-cost / rdamerau distances D[m_p][n_p] for a [B] batch of
     pairs of ANY length; B must be a multiple of 128 (and >= 256).  Lanes
-    with m == 0 return 0 and must be fixed up by the caller (dist = n)."""
+    with m == 0 return 0 and must be fixed up by the caller (dist = n).
+
+    uint8 nchar arrives ROW-major [B, n_strips*SW*WORD] with 0 pads
+    (see prepare_blocked_distance_inputs) and is transposed on device
+    with the -1 pad sentinels rebuilt from m_row; int16/int32 arrivals
+    are the legacy pre-transposed [rows, B] layouts and pass through."""
     WINP = SW * WORD
-    B = seg.shape[1]
+    if nchar.dtype == jnp.uint8:
+        B = nchar.shape[0]
+        assert nchar.shape == (B, n_strips * WINP)
+        assert seg.shape == (B, n_chunks * TC)
+        ia = lax.broadcasted_iota(jnp.int32, (n_strips * WINP, 1), 0)
+        nchar = jnp.where(ia < m_row, nchar.T.astype(jnp.int32), -1)
+        seg = seg.T.astype(jnp.int32)
+    else:
+        B = seg.shape[1]
+        assert nchar.shape == (n_strips * WINP, B)
+        assert seg.shape[0] == n_chunks * TC
+        nchar = nchar.astype(jnp.int32)
+        seg = seg.astype(jnp.int32)
     assert B % LANES == 0
-    assert nchar.shape == (n_strips * WINP, B)
-    assert seg.shape[0] == n_chunks * TC
-    nchar = nchar.astype(jnp.int32)
-    seg = seg.astype(jnp.int32)
     nwt_row = jnp.maximum(-(-m_row // WORD), 1)
     wg_row = jnp.maximum(m_row - 1, 0) // WORD
     offs_row = jnp.maximum(m_row - 1, 0) % WORD
 
-    kernel = _make_distance_kernel(damerau)
+    kernel = _make_distance_kernel(damerau, chain=n_strips > 1)
     grid = (B // LANES, n_chunks)
     row_spec = pl.BlockSpec((1, LANES), lambda g, c: (0, g),
                             memory_space=pltpu.VMEM)
@@ -262,13 +266,47 @@ def blocked_distance_chunked(
                            memory_space=pltpu.VMEM)
     tc_spec = pl.BlockSpec((TC, LANES), lambda g, c: (c, g),
                            memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((SW, LANES), jnp.int32),  # Pv
+        pltpu.VMEM((SW, LANES), jnp.int32),  # Mv
+        pltpu.VMEM((SW, LANES), jnp.int32),  # EqP
+        pltpu.VMEM((SW, LANES), jnp.int32),  # D0P
+        pltpu.VMEM((8, LANES), jnp.int32),  # d0 top row
+    ]
+    A = jnp.zeros((SW, B), jnp.int32)
+    sbase0 = jnp.zeros((1, B), jnp.int32)
+
+    if n_strips == 1:
+        # single strip: no boundary-bit arrays (prefill synthesized in
+        # the kernel, nothing reads a next strip's bits)
+        A = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((WINP, LANES), lambda g, c: (0, g),
+                             memory_space=pltpu.VMEM),
+                tc_spec,  # seg
+                row_spec,  # sbase
+                row_spec,  # m_row
+                row_spec,  # n_row
+                row_spec,  # wg
+                row_spec,  # offs
+                row_spec,  # nwt
+                sw_spec,  # A_in
+            ],
+            out_specs=sw_spec,
+            out_shape=jax.ShapeDtypeStruct((SW, B), jnp.int32),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(nchar, seg, sbase0, m_row, n_row, wg_row, offs_row,
+          nwt_row, A)
+        return m_row[0] + jnp.sum(A, axis=0)
 
     bits = jnp.full(
         (n_chunks * TC, B),
         _PREFILL_ANCHORED if damerau else (1 << 1),
         jnp.int32,
     )
-    A = jnp.zeros((SW, B), jnp.int32)
     for s in range(n_strips):
         nchar_s = lax.slice(nchar, (s * WINP, 0),
                             ((s + 1) * WINP, B))
@@ -294,13 +332,7 @@ def blocked_distance_chunked(
                 jax.ShapeDtypeStruct((n_chunks * TC, B), jnp.int32),
                 jax.ShapeDtypeStruct((SW, B), jnp.int32),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((SW, LANES), jnp.int32),  # Pv
-                pltpu.VMEM((SW, LANES), jnp.int32),  # Mv
-                pltpu.VMEM((SW, LANES), jnp.int32),  # EqP
-                pltpu.VMEM((SW, LANES), jnp.int32),  # D0P
-                pltpu.VMEM((8, LANES), jnp.int32),  # d0 top row
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(nchar_s, seg, bits, sbase, m_row, n_row, wg_row, offs_row,
           nwt_row, A)
@@ -310,9 +342,14 @@ def blocked_distance_chunked(
 def prepare_blocked_distance_inputs(a_list, b_list):
     """Pack a batch (len(a) <= len(b) per pair, any lengths) into the
     buffers blocked_distance_chunked expects.  Returns
-    (nchar, seg, m_row, n_row, n_strips, n_chunks); nchar is int16
-    (half the transfer, -1 pads), seg uint8 (columns past each pair's n
-    never influence its captured score)."""
+    (nchar, seg, m_row, n_row, n_strips, n_chunks).
+
+    nchar/seg are ROW-major uint8 with 0-valued pads (a quarter of the
+    int32 transfer, no host transpose — host numpy transposes ran at
+    ~100-240 MB/s and dominated long-pair prep); the wrapper transposes
+    on device and rebuilds nchar's -1 pad sentinels from m_row.  seg
+    pads need no sentinel: columns past each pair's n never influence
+    its captured score."""
     WINP = SW * WORD
     B = max(_round_up(max(len(a_list), 1), LANES), 2 * LANES)
     max_m = max((len(a) for a in a_list), default=1)
@@ -322,38 +359,44 @@ def prepare_blocked_distance_inputs(a_list, b_list):
     # pow2-quantized chunk count bounds Mosaic recompiles across batches
     n_chunks = 1 << (max(-(-max_n // TC), 1) - 1).bit_length()
 
-    a_rows = np.full((B, n_strips * WINP), -1, dtype=np.int16)
+    a_rows = np.zeros((B, n_strips * WINP), dtype=np.uint8)
     b_rows = np.zeros((B, n_chunks * TC), dtype=np.uint8)
     m_row = np.zeros((1, B), dtype=np.int32)
     n_row = np.zeros((1, B), dtype=np.int32)
-    for p, (a, b) in enumerate(zip(a_list, b_list)):
-        a_rows[p, : len(a)] = a
-        b_rows[p, : len(b)] = b
-        m_row[0, p] = len(a)
-        n_row[0, p] = len(b)
-    return (
-        np.ascontiguousarray(a_rows.T),
-        np.ascontiguousarray(b_rows.T),
-        m_row,
-        n_row,
-        n_strips,
-        n_chunks,
-    )
+    NB = len(a_list)
+    if NB:
+        # vectorized fill: one boolean-mask scatter per buffer (per-pair
+        # python slice loops dominate prep at large B)
+        arrs_a = [np.asarray(x, dtype=np.uint8) for x in a_list]
+        arrs_b = [np.asarray(x, dtype=np.uint8) for x in b_list]
+        la = np.fromiter((x.size for x in arrs_a), np.int64, NB)
+        lb = np.fromiter((x.size for x in arrs_b), np.int64, NB)
+        ja = np.arange(n_strips * WINP)
+        a_rows[:NB][ja[None, :] < la[:, None]] = np.concatenate(arrs_a)
+        jb = np.arange(n_chunks * TC)
+        b_rows[:NB][jb[None, :] < lb[:, None]] = np.concatenate(arrs_b)
+        m_row[0, :NB] = la
+        n_row[0, :NB] = lb
+    return a_rows, b_rows, m_row, n_row, n_strips, n_chunks
 
 
 # ---------------------------------------------------------------------------
 # SEARCH mode: per-end-position distances, unbounded needle AND halo
 # ---------------------------------------------------------------------------
 
-def _make_search_kernel(needle_len: int, anchored: bool, damerau: bool):
+def _make_search_kernel(needle_len: int, anchored: bool, damerau: bool,
+                        chain: bool = True):
     """One needle strip sweeping all text chunks of every segment,
     emitting D[m][t] per column (the chunked analog of
     search_myers._make_blocked_kernel).  The score row S is a [1, LANES]
     scalar row rebuilt fresh per strip: only the strip containing the
     needle's last word accumulates real contributions (masked by `own`),
-    and only the last launch's output is consumed.  The word-op helpers
-    deliberately mirror _make_distance_kernel's, which are chip-validated
-    — keep them in sync."""
+    and only the last launch's output is consumed.  Word ops come from
+    search_myers.make_word_ops (chip-validated, shared with the blocked
+    and chunked-distance kernels).
+
+    `chain=False` builds the single-strip variant with no boundary-bit
+    HBM arrays (see _make_distance_kernel)."""
     m = needle_len
     NWt = -(-m // WORD)
     mtop = m - WORD * (NWt - 1)
@@ -361,10 +404,18 @@ def _make_search_kernel(needle_len: int, anchored: bool, damerau: bool):
     offS = (m - 1) % WORD
     TR = SW
     WINP = SW * WORD
+    prefill = (1 << 1) if anchored else 0
+    if damerau:
+        prefill |= 1 << 4
 
-    def kernel(nchar_ref, seg_ref, bits_in_ref, sbase_ref,
-               bits_out_ref, out_ref,
-               pv_s, mv_s, eqp_s, d0p_s, d0row_s, srow_s):
+    def kernel(*refs):
+        if chain:
+            (nchar_ref, seg_ref, bits_in_ref, sbase_ref,
+             bits_out_ref, out_ref,
+             pv_s, mv_s, eqp_s, d0p_s, d0row_s, srow_s) = refs
+        else:
+            (nchar_ref, seg_ref, sbase_ref, out_ref,
+             pv_s, mv_s, eqp_s, d0p_s, d0row_s, srow_s) = refs
         c = pl.program_id(2)
         row = lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
         sbase = sbase_ref[0:1, :]
@@ -373,45 +424,10 @@ def _make_search_kernel(needle_len: int, anchored: bool, damerau: bool):
             gw < NWt - 1, MW, jnp.where(gw == NWt - 1, (1 << mtop) - 1, 0)
         )
         zero = jnp.zeros((TR, LANES), jnp.int32)
-        ones = jnp.ones((TR, LANES), jnp.int32)
         own = gw == wG
+        bnot, roll_down, shl1, add_words = make_word_ops(row, maskw, SW)
 
-        def bnot(x):
-            return x ^ maskw
-
-        def roll_down(x, d):
-            return jnp.where(row < d, 0, pltpu.roll(x, d, axis=0))
-
-        def shl1(x, bit0_row):
-            dn = roll_down(x, 1)
-            carry = jnp.where(row == 0, bit0_row, (dn >> (WORD - 1)) & 1)
-            return ((x << 1) & maskw) | carry
-
-        def add_words(x, y, cin_row):
-            ssum = x + y
-            g = ssum >> WORD
-            cr = roll_down(g, 1)
-            cr = jnp.where(row == 0, cr | cin_row, cr)
-            p = jnp.where((ssum & maskw) == maskw, ones, zero)
-            pp = roll_down(p, 1)
-            d = 1
-            while d < SW:
-                cr = cr | (pp & roll_down(cr, d))
-                pp = pp & roll_down(pp, d)
-                d <<= 1
-            full = ssum + cr
-            return full & maskw, (full >> WORD) & 1
-
-        wr = lax.broadcasted_iota(jnp.int32, (TR, WINP), 0)
-        wc = lax.broadcasted_iota(jnp.int32, (TR, WINP), 1)
-        tloc = wc - WORD * wr
-        wts = jnp.where(
-            (tloc >= 0) & (tloc < WORD),
-            (jnp.int32(1) << jnp.clip(tloc, 0, WORD - 1)).astype(
-                jnp.float32
-            ),
-            0.0,
-        )
+        wts = make_eq_weights(TR, WINP)
         nchar = nchar_ref[...]
 
         def eq_for_step(r):
@@ -434,7 +450,10 @@ def _make_search_kernel(needle_len: int, anchored: bool, damerau: bool):
         def step(r, state):
             Pv, Mv, S_row, EqP, D0P, d0p_row = state
             Eq = eq_for_step(r)
-            bits = bits_in_ref[pl.ds(r, 1), :]
+            if chain:
+                bits = bits_in_ref[pl.ds(r, 1), :]
+            else:
+                bits = jnp.full((1, LANES), prefill, jnp.int32)
             cin = bits & 1
             ph_in = (bits >> 1) & 1
             mh_in = (bits >> 2) & 1
@@ -454,25 +473,28 @@ def _make_search_kernel(needle_len: int, anchored: bool, damerau: bool):
             )
             S_row = S_row + ds
             top = TR - 1
-            bits_out = (
-                cout[top : top + 1, :]
-                | (((Ph[top : top + 1, :] >> (WORD - 1)) & 1) << 1)
-                | (((Mh[top : top + 1, :] >> (WORD - 1)) & 1) << 2)
-            )
+            if chain:
+                bits_out = (
+                    cout[top : top + 1, :]
+                    | (((Ph[top : top + 1, :] >> (WORD - 1)) & 1) << 1)
+                    | (((Mh[top : top + 1, :] >> (WORD - 1)) & 1) << 2)
+                )
             PhS = shl1(Ph, ph_in)
             MhS = shl1(Mh, mh_in)
             if damerau:
                 D0 = Xh | Mv
                 Pv = MhS | bnot(D0 | PhS)
                 Mv = PhS & D0
-                bits_out = bits_out | (
-                    ((Eq[top : top + 1, :] >> (WORD - 1)) & 1) << 3
-                ) | (((D0[top : top + 1, :] >> (WORD - 1)) & 1) << 4)
+                if chain:
+                    bits_out = bits_out | (
+                        ((Eq[top : top + 1, :] >> (WORD - 1)) & 1) << 3
+                    ) | (((D0[top : top + 1, :] >> (WORD - 1)) & 1) << 4)
             else:
                 Xv = Eq | Mv
                 Pv = MhS | bnot(Xv | PhS)
                 Mv = PhS & Xv
-            bits_out_ref[pl.ds(r, 1), :] = bits_out
+            if chain:
+                bits_out_ref[pl.ds(r, 1), :] = bits_out
             # D[m][t] at block row r (t = c*TC + r + 1); only the LAST
             # launch's output array is consumed by the caller
             out_ref[pl.ds(r, 1), :] = S_row
@@ -527,8 +549,41 @@ def blocked_search_chunked(
     assert seg.shape[0] == n_chunks * TC
     assert nchar.shape == (n_strips * num_needles * WINP, LANES)
     seg = seg.astype(jnp.int32)
-    kernel = _make_search_kernel(needle_len, anchored, damerau)
+    kernel = _make_search_kernel(needle_len, anchored, damerau,
+                                 chain=n_strips > 1)
     grid = (num_needles, BG // LANES, n_chunks)
+    scratch = [
+        pltpu.VMEM((SW, LANES), jnp.int32),  # Pv
+        pltpu.VMEM((SW, LANES), jnp.int32),  # Mv
+        pltpu.VMEM((SW, LANES), jnp.int32),  # EqP
+        pltpu.VMEM((SW, LANES), jnp.int32),  # D0P
+        pltpu.VMEM((8, LANES), jnp.int32),  # d0 top row
+        pltpu.VMEM((8, LANES), jnp.int32),  # S row
+    ]
+    out_spec = pl.BlockSpec((TC, LANES),
+                            lambda n, g, c: (n * n_chunks + c, g),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((num_needles * n_chunks * TC, BG),
+                                     jnp.int32)
+    if n_strips == 1:
+        # single strip: no boundary-bit arrays (see _make_distance_kernel)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((WINP, LANES), lambda n, g, c: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TC, LANES), lambda n, g, c: (c, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES), lambda n, g, c: (0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(nchar, seg, jnp.zeros((1, BG), jnp.int32))
+
     prefill = (1 << 1) if anchored else 0
     if damerau:
         prefill |= 1 << 4
@@ -558,24 +613,14 @@ def blocked_search_chunked(
                 pl.BlockSpec((TC, LANES),
                              lambda n, g, c: (n * n_chunks + c, g),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TC, LANES),
-                             lambda n, g, c: (n * n_chunks + c, g),
-                             memory_space=pltpu.VMEM),
+                out_spec,
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((num_needles * n_chunks * TC, BG),
                                      jnp.int32),
-                jax.ShapeDtypeStruct((num_needles * n_chunks * TC, BG),
-                                     jnp.int32),
+                out_shape,
             ),
-            scratch_shapes=[
-                pltpu.VMEM((SW, LANES), jnp.int32),  # Pv
-                pltpu.VMEM((SW, LANES), jnp.int32),  # Mv
-                pltpu.VMEM((SW, LANES), jnp.int32),  # EqP
-                pltpu.VMEM((SW, LANES), jnp.int32),  # D0P
-                pltpu.VMEM((8, LANES), jnp.int32),  # d0 top row
-                pltpu.VMEM((8, LANES), jnp.int32),  # S row
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(nchar_s, seg, bits, sbase)
     return out

@@ -60,6 +60,66 @@ WORD = 20
 MW = (1 << WORD) - 1
 
 
+def make_word_ops(row, maskw, sw):
+    """Shared multi-word bit-parallel helpers for kernels whose words
+    stack plainly on the sublane axis (one word per row): bnot,
+    roll_down, shl1-with-carry and the Kogge-Stone multi-word adder.
+
+    These closures are chip-validated, subtly-exact bit arithmetic; the
+    blocked search kernel (this module) and the chunked distance/search
+    kernels (myers_chunked.py) all build from HERE — never fork a
+    private copy.  (The subgroup kernels in lev_myers.py roll within
+    SG-row subgroups instead and keep their own forms.)"""
+    ones = jnp.ones(row.shape, jnp.int32)
+    zero = jnp.zeros(row.shape, jnp.int32)
+
+    def bnot(x):
+        return x ^ maskw
+
+    def roll_down(x, d):
+        return jnp.where(row < d, 0, pltpu.roll(x, d, axis=0))
+
+    def shl1(x, bit0_row):
+        dn = roll_down(x, 1)
+        carry = jnp.where(row == 0, bit0_row, (dn >> (WORD - 1)) & 1)
+        return ((x << 1) & maskw) | carry
+
+    def add_words(x, y, cin_row):
+        # Kogge-Stone carry chain across the sw words with a carry
+        # injected below word 0 (e.g. the previous strip's adder
+        # carry-out at this column); returns (sum, per-row carry-out)
+        ssum = x + y
+        g = ssum >> WORD
+        c = roll_down(g, 1)
+        c = jnp.where(row == 0, c | cin_row, c)
+        p = jnp.where((ssum & maskw) == maskw, ones, zero)
+        pp = roll_down(p, 1)
+        d = 1
+        while d < sw:
+            c = c | (pp & roll_down(c, d))
+            pp = pp & roll_down(pp, d)
+            d <<= 1
+        full = ssum + c
+        return full & maskw, (full >> WORD) & 1
+
+    return bnot, roll_down, shl1, add_words
+
+
+def make_eq_weights(tr: int, winp: int):
+    """[tr, winp] f32 weight matrix turning a per-char equality mask into
+    packed Eq words via one exact MXU dot (weights 2^(c mod WORD))."""
+    wr = lax.broadcasted_iota(jnp.int32, (tr, winp), 0)
+    wc = lax.broadcasted_iota(jnp.int32, (tr, winp), 1)
+    tloc = wc - WORD * wr
+    # integer shift, not exp2: the VPU exp2 approximation is off by 1ulp
+    # at e.g. 2^15, which silently drops Eq bits
+    return jnp.where(
+        (tloc >= 0) & (tloc < WORD),
+        (jnp.int32(1) << jnp.clip(tloc, 0, WORD - 1)).astype(jnp.float32),
+        0.0,
+    )
+
+
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
@@ -742,49 +802,10 @@ def _make_blocked_kernel(needle_len: int, width: int, seg_len: int,
             gw < NWt - 1, MW, jnp.where(gw == NWt - 1, (1 << mtop) - 1, 0)
         )
         zero = jnp.zeros((TR, LANES), jnp.int32)
-        ones = jnp.ones((TR, LANES), jnp.int32)
         zrow = jnp.zeros((1, LANES), jnp.int32)
-
-        def bnot(x):
-            return x ^ maskw
-
-        def roll_down(x, d):
-            return jnp.where(row < d, 0, pltpu.roll(x, d, axis=0))
-
-        def shl1(x, bit0_row):
-            dn = roll_down(x, 1)
-            carry = jnp.where(row == 0, bit0_row, (dn >> (WORD - 1)) & 1)
-            return ((x << 1) & maskw) | carry
-
-        def add_words(x, y, cin_row):
-            # Kogge-Stone carry chain across the strip's SW words with a
-            # carry injected below word 0 (the previous strip's adder
-            # carry-out at this column); returns (sum, per-row carry-out)
-            ssum = x + y
-            g = ssum >> WORD
-            c = roll_down(g, 1)
-            c = jnp.where(row == 0, c | cin_row, c)
-            p = jnp.where((ssum & maskw) == maskw, ones, zero)
-            pp = roll_down(p, 1)
-            d = 1
-            while d < SW:
-                c = c | (pp & roll_down(c, d))
-                pp = pp & roll_down(pp, d)
-                d <<= 1
-            full = ssum + c
-            return full & maskw, (full >> WORD) & 1
-
+        bnot, roll_down, shl1, add_words = make_word_ops(row, maskw, SW)
         # Eq via one exact f32 MXU dot per char (weights 2^(c mod WORD))
-        wr = lax.broadcasted_iota(jnp.int32, (TR, WINP), 0)
-        wc = lax.broadcasted_iota(jnp.int32, (TR, WINP), 1)
-        tloc = wc - WORD * wr
-        # integer shift, not exp2: the VPU exp2 approximation is off by
-        # 1ulp at e.g. 2^15, which silently drops Eq bits
-        wts = jnp.where(
-            (tloc >= 0) & (tloc < WORD),
-            (jnp.int32(1) << jnp.clip(tloc, 0, WORD - 1)).astype(jnp.float32),
-            0.0,
-        )
+        wts = make_eq_weights(TR, WINP)
         nchar = nchar_ref[...]
 
         def eq_for_step(t):
