@@ -230,5 +230,40 @@ for m, k, n, costs in [
         if got != exp:
             bad += 1; print(f"ANCHORED m={m} k={k} {st}: {got[:3]} vs {exp[:3]}")
 print("anchored myers fuzz done")
+
+# 10. single-strip (chainless) chunked kernel variants: needles/pairs
+# within one 1280-char strip compile a separate Mosaic kernel with no
+# boundary-bit HBM arrays — prove it on chip for search and distance
+import triple_accel_tpu.ops.pallas.search_myers as _sm  # noqa: E402
+
+_saved = (_sm.myers_halo_budget, _sm.blocked_seg_budget)
+_sm.myers_halo_budget = lambda m: 0
+_sm.blocked_seg_budget = lambda: 0
+try:
+    m = 300
+    needle = rng.integers(65, 70, m).astype(np.uint8)
+    hay = rng.integers(65, 70, 20000).astype(np.uint8)
+    mut = needle.copy(); mut[rng.integers(0, m, 2)] = 65
+    hay[9000:9000+m] = mut
+    for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS):
+        got = levenshtein_search_simd_with_opts(needle, hay, 4,
+                                                SearchType.All, costs, False)
+        exp = levenshtein_search_naive_with_opts(needle, hay, 4,
+                                                 SearchType.All, costs, False)
+        if got != exp:
+            bad += 1; print(f"CHAINLESS SEARCH {costs}: {got[:3]} vs {exp[:3]}")
+finally:
+    _sm.myers_halo_budget, _sm.blocked_seg_budget = _saved
+ca, cb = [], []
+for _ in range(4):
+    ca.append(rng.integers(65, 69, 900).astype(np.uint8))
+    cb.append(rng.integers(65, 69, 5000).astype(np.uint8))
+for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS):
+    got = levenshtein_k_batch(ca, cb, U32, costs)
+    for i in (0, 1):
+        ref = levenshtein_naive_k_with_opts(ca[i], cb[i], U32, False, costs)
+        if int(got[i]) != ref[0]:
+            bad += 1; print(f"CHAINLESS DIST {costs} i{i}: {got[i]} vs {ref[0]}")
+print("chainless chunked fuzz done")
 print(f"FINAL FUZZ TOTAL: {bad} mismatches")
 sys.exit(1 if bad else 0)
