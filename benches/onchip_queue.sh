@@ -32,4 +32,6 @@ run prof_m120 2400 env PROF_MB=16 PROF_M=120 python benches/search_kernel_profil
 run fuzz 5400 python benches/tpu_fuzz.py
 # 5. search bench headline
 run bench_search 2400 python bench_search.py
+# 6. criterion-equivalent groups (incl. dense/sparse hamming, dictionary)
+run randbench 3600 python benches/rand_benchmarks.py
 echo "queue complete; logs in $OUT"
