@@ -133,6 +133,23 @@ def test_hamming_search_sparse_candidates():
             assert got == [Match(start=30_000, end=30_024, k=1)]
 
 
+def test_hamming_search_dense_best_gmin_fetch():
+    """Best mode over low-complexity text with the blessed default
+    k = ceil(m/2): every block is a candidate for All, but Best needs
+    only the global-minimum blocks — results must still match the
+    streaming oracle exactly (order, count, k)."""
+    rng = np.random.default_rng(91)
+    m = 16
+    hay = rng.integers(65, 67, 50_000).astype(np.uint8)
+    needle = rng.integers(65, 67, m).astype(np.uint8)
+    hay[20_000 : 20_000 + m] = needle  # guarantee a k=0 global min
+    k = (m + 1) // 2
+    ref = hamming_search_naive_with_opts(needle, hay, k, SearchType.Best)
+    got = hamming_search_simd_with_opts(needle, hay, k, SearchType.Best)
+    assert got == ref
+    assert all(h.k == 0 for h in got) and len(got) >= 1
+
+
 def test_hamming_batch():
     a = np.array([[1, 2, 3, 0], [5, 5, 5, 5]], dtype=np.uint8)
     b = np.array([[1, 9, 3, 0], [5, 5, 0, 0]], dtype=np.uint8)

@@ -158,7 +158,21 @@ def hamming_search_simd_with_opts(
     )
     mins = np.asarray(mins_d)
     kk = min(k, m)
-    cand = np.flatnonzero(mins <= kk)
+    best = search_type == SearchType.Best
+    if best:
+        # streaming Best keeps exactly the candidates at the final
+        # curr_k == the global minimum count (no overlap dedup in
+        # hamming search) — and the global minimum is already in the
+        # fetched block mins, so only blocks AT the minimum need their
+        # counts fetched; with the blessed default k = ceil(m/2) on
+        # low-complexity text this shrinks the fetch from every block
+        # to a handful
+        gmin = int(mins.min())
+        if gmin > kk:
+            return []
+        cand = np.flatnonzero(mins == gmin)
+    else:
+        cand = np.flatnonzero(mins <= kk)
     if cand.size == 0:
         return []
 
@@ -173,8 +187,18 @@ def hamming_search_simd_with_opts(
     blk = blocks[: cand.size].astype(np.int64)
     pos = bases[:, None] + np.arange(BLOCK, dtype=np.int64)[None, :]
     ok = pos < n_pos
-    best = search_type == SearchType.Best
 
+    if best:
+        # every hit is a position at exactly gmin (positions past n_pos
+        # hold a sentinel far above m, so `ok` is belt-and-braces);
+        # cand and the in-block offsets are both ascending, so the
+        # matches come out in stream order
+        sel = ok & (blk == gmin)
+        return [
+            Match(start=int(p), end=int(p) + m, k=gmin) for p in pos[sel]
+        ]
+
+    # All mode from here on (Best returned above)
     if cand.size * BLOCK < n_pos // 4:
         # sparse candidates: never materialize an O(n) counts array (8
         # bytes per haystack byte!) for a handful of blocks — the fetched
@@ -184,12 +208,6 @@ def hamming_search_simd_with_opts(
         hpos, hcnt = pos[ok], blk[ok]
         keep = hcnt <= k
         hpos, hcnt = hpos[keep], hcnt[keep]
-        if best and hpos.size:
-            # streaming Best keeps exactly the candidates at the final
-            # curr_k == global minimum (no overlap dedup in hamming
-            # search)
-            at_min = hcnt == hcnt.min()
-            hpos, hcnt = hpos[at_min], hcnt[at_min]
         return [
             Match(start=int(p), end=int(p) + m, k=int(c))
             for p, c in zip(hpos, hcnt)
@@ -212,13 +230,10 @@ def hamming_search_simd_with_opts(
 
     from .utils.native import postprocess_hamming_native
 
-    native = postprocess_hamming_native(counts_full, m, k, best)
+    native = postprocess_hamming_native(counts_full, m, k, best=False)
     if native is not None:
         return native
     hits = np.flatnonzero(counts_full <= k)
-    if best and hits.size:
-        gmin = counts_full[hits].min()
-        hits = hits[counts_full[hits] == gmin]
     return [
         Match(start=int(i), end=int(i) + m, k=int(counts_full[i]))
         for i in hits
