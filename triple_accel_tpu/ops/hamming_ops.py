@@ -25,7 +25,6 @@ from jax import lax
 
 __all__ = [
     "hamming_kernel",
-    "hamming_search_counts",
     "hamming_search_block_mins",
     "hamming_gather_blocks",
     "BLOCK",
@@ -42,37 +41,6 @@ def hamming_kernel(a: jnp.ndarray, b: jnp.ndarray, length: jnp.ndarray):
     idx = jnp.arange(a.shape[1], dtype=jnp.int32)[None, :]
     mism = (a != b) & (idx < length[:, None])
     return jnp.sum(mism, axis=1, dtype=jnp.int32)
-
-
-@partial(jax.jit, static_argnames=("needle_len",))
-def hamming_search_counts(
-    needle: jnp.ndarray,  # [needle_len] int32
-    haystack: jnp.ndarray,  # [P] int32, sentinel -1 padded past n
-    n: jnp.ndarray,  # scalar int32: true haystack length
-    *,
-    needle_len: int,
-):
-    """Mismatch counts at every window position.
-
-    Returns counts [P] int32 where counts[i] = hamming(needle,
-    haystack[i:i+needle_len]) for i <= n - needle_len, and a large value
-    (needle_len + 1 flavored) past the last valid position so thresholding
-    never emits them.
-    """
-    P = haystack.shape[0]
-    m = needle_len
-    # pad so every shifted slice is static width P
-    hay_ext = jnp.concatenate(
-        [haystack, jnp.full((m,), -1, jnp.int32)]
-    )
-
-    def body(j, acc):
-        shifted = lax.dynamic_slice_in_dim(hay_ext, j, P)
-        return acc + jnp.where(shifted != needle[j], 1, 0).astype(jnp.int32)
-
-    counts = lax.fori_loop(0, m, body, jnp.zeros((P,), jnp.int32))
-    idx = jnp.arange(P, dtype=jnp.int32)
-    return jnp.where(idx <= n - m, counts, jnp.int32(m + 1 + (1 << 20)))
 
 
 BLOCK = 512  # positions per candidate block in the two-phase hit fetch

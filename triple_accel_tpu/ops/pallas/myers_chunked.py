@@ -57,7 +57,6 @@ __all__ = [
     "blocked_search_chunked_mins",
     "blocked_search_chunked_mins_from_hay",
     "prepare_chunked_needles",
-    "prepare_chunked_search_segs",
     "TC",
 ]
 
@@ -705,14 +704,3 @@ def prepare_chunked_needles(needles, needle_len: int):
     return nchar, n_strips
 
 
-def prepare_chunked_search_segs(seg_pad: np.ndarray):
-    """Pack raw overlapping segments ([C, seg_len] rows, e.g. chunk_raw's
-    view) into the chunked kernel's [n_chunks*TC, BG] transposed layout;
-    returns (seg, BG, n_chunks)."""
-    seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
-    C0, width0 = seg_pad.shape
-    BG = max(_round_up(max(C0, 1), LANES), 2 * LANES)
-    n_chunks = max(-(-width0 // TC), 1)
-    seg = np.zeros((n_chunks * TC, BG), dtype=np.uint8)
-    seg[:width0, :C0] = seg_pad.T
-    return seg, BG, n_chunks

@@ -52,7 +52,6 @@ __all__ = [
     "flat_search",
     "flat_search_mins",
     "flat_search_mins_from_hay",
-    "prepare_flat_inputs",
     "prepare_flat_needle",
     "RJ",
     "TI",
@@ -415,23 +414,6 @@ def prepare_flat_needle(needle: np.ndarray, ti: int = TI):
     nchar = np.repeat(npad[2 : 2 + mP, None], LANES, axis=1)
     nprev = np.repeat(npad[1 : 1 + mP, None], LANES, axis=1)
     return nchar, nprev, n_ichunks
-
-
-def prepare_flat_inputs(needle: np.ndarray, seg_pad: np.ndarray,
-                        rj: int = RJ, ti: int = TI):
-    """Pack raw overlapping segments ([C0, seg_len] rows, chunk_raw's
-    view) and the needle for flat_search; returns
-    (seg_lead, nchar, nprev, C, n_jchunks, n_ichunks)."""
-    RJ, TI = rj, ti
-    seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
-    C0, width0 = seg_pad.shape
-    C = max(_round_up(max(C0, 1), LANES), 2 * LANES)
-    n_jchunks = max(-(-width0 // RJ), 1)
-    seg_lead = np.zeros((2 + n_jchunks * RJ + 8, C), dtype=np.uint8)
-    seg_lead[2 : 2 + width0, :C0] = seg_pad.T
-
-    nchar, nprev, n_ichunks = prepare_flat_needle(needle, TI)
-    return seg_lead, nchar, nprev, C, n_jchunks, n_ichunks
 
 
 @partial(
