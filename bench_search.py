@@ -29,6 +29,7 @@ def main():
         myers_search_pallas,
         myers_search_plan,
         prepare_myers_search_inputs,
+        search_chain_plan,
         suggest_own_len,
     )
     from triple_accel_tpu.ops.pallas.search_myers import chunk_raw
@@ -49,11 +50,17 @@ def main():
         hay[pos : pos + NEEDLE_LEN] = mut
 
     halo = min(window_span(NEEDLE_LEN, K, 1, 0), N)
-    own_len = suggest_own_len(NEEDLE_LEN, halo)
+    # interleaved chains (the dispatcher's default plan; BENCH_SEARCH_CHAINS
+    # forces an A/B) fill the serial bit chain's issue stalls
+    chains = int(
+        os.environ.get("BENCH_SEARCH_CHAINS", "0")
+    ) or search_chain_plan(NEEDLE_LEN, halo, N)
+    own_len = suggest_own_len(NEEDLE_LEN, halo, chains)
     segs, _C = chunk_raw(hay, halo, own_len)
     seg_len = halo + own_len
-    nchar, seg_t, _ = prepare_myers_search_inputs(needle, segs)
-    width = seg_t.shape[0] // myers_search_plan(NEEDLE_LEN)[2]
+    nchar, seg_t, _ = prepare_myers_search_inputs(needle, segs,
+                                                  chains=chains)
+    width = seg_t.shape[0] // (chains * myers_search_plan(NEEDLE_LEN)[2])
     nchar_d = jax.device_put(nchar)
     seg_d = jax.device_put(seg_t)
 
@@ -70,6 +77,7 @@ def main():
             seg_len=seg_len,
             anchored=False,
             interpret=not on_tpu,
+            chains=chains,
         )
         return (dist <= K).sum()
 
@@ -111,7 +119,7 @@ def main():
     )
     print(
         f"# device={jax.devices()[0]} haystack={HAY_MB}MB reps={reps} "
-        f"{gbps:.3f} GB/s, device hits={hits0}, "
+        f"chains={chains} {gbps:.3f} GB/s, device hits={hits0}, "
         f"roofline={roof['ideal_bytes_per_sec']/1e9:.1f} GB/s "
         f"({frac:.0%} of serial bit-chain floor)",
         file=sys.stderr,

@@ -305,6 +305,74 @@ def test_search_raw_packed_layout_and_sentinels(m, tiled):
                 assert got == 1 << 30, (c, t, got)
 
 
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("m", [9, 24, 200])  # G = 8, 4, 1 regimes
+def test_search_chained_matches_single_chain(m, tiled):
+    """chains=2 (two independent segment blocks advanced per grid step
+    with interleaved bit chains) must be bit-identical to chains=1 on
+    every real column after decoding the raw CHAINED layout (chain ch's
+    packed-step band holds original lane-block gb2*2 + ch) — the chains
+    share no state.  Covers all three packing regimes, both store
+    schemes, and the damerau + anchored variants; collect_hits' chains
+    decode is checked against the same remap."""
+    from triple_accel_tpu.ops.pallas.search_myers import (
+        BLOCK,
+        collect_hits,
+        myers_search_pallas,
+        myers_search_plan,
+        prepare_myers_search_inputs,
+    )
+
+    rng = np.random.default_rng(m)
+    G = myers_search_plan(m)[2]
+    seg_len = 21
+    C0 = G * 384  # 3 lane-blocks -> BGc = 512, nbc = 2 grid steps
+    segs = rng.integers(65, 69, (C0, seg_len)).astype(np.uint8)
+    needle = rng.integers(65, 69, m).astype(np.uint8)
+    nchar, seg_t, _ = prepare_myers_search_inputs(needle, segs)
+    nchar2, seg_t2, _ = prepare_myers_search_inputs(needle, segs, chains=2)
+    width = seg_t.shape[0] // G
+    assert seg_t2.shape[0] == 2 * G * width
+    BG = seg_t.shape[1]
+    damerau = m == 24
+    anchored = m == 9
+    kw = dict(needle_len=m, width=width, seg_len=seg_len,
+              anchored=anchored, interpret=True, damerau=damerau,
+              tiled=tiled)
+    out1 = np.asarray(myers_search_pallas(nchar, seg_t, chains=1, **kw))
+    out2 = np.asarray(myers_search_pallas(nchar2, seg_t2, chains=2, **kw))
+    OUT = out1.shape[0] // G
+    nbc = out2.shape[1] // 128
+    # un-restack in numpy: chain band ch holds original lane-block
+    # gb2*2 + ch at columns gb2*128 + lane
+    dec = (
+        out2.reshape(2, G * OUT, nbc, 128)
+        .transpose(1, 2, 0, 3)
+        .reshape(G * OUT, nbc * 2 * 128)
+    )
+    np.testing.assert_array_equal(dec[:, :BG], out1)
+
+    # collect_hits must decode the chained layout to the same hit set
+    k = m  # every position is a hit
+    own = 16
+    halo = seg_len - own
+
+    def hits(out, chains):
+        R = out.shape[0]
+        pad = (-R) % BLOCK
+        dp = np.pad(out, ((0, pad), (0, 0)), constant_values=1 << 30)
+        mins = dp.reshape(-1, BLOCK, out.shape[1]).min(axis=1)
+        rb, cols = np.nonzero(mins <= k)
+        blocks = dp.reshape(-1, BLOCK, out.shape[1])[rb, :, cols]
+        _, gpos, d = collect_hits(
+            blocks, rb, cols, k, OUT=OUT, G=G, C=C0, halo=halo,
+            own_len=own, limit_pos=C0 * own, chains=chains,
+        )
+        return list(zip(gpos.tolist(), d.tolist()))
+
+    assert hits(out1, 1) == hits(out2, 2)
+
+
 @pytest.mark.parametrize(
     "n,halo,own,G",
     [

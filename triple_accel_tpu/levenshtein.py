@@ -1163,6 +1163,7 @@ def levenshtein_search_simd_with_opts(
         blocked_seg_budget,
         myers_halo_budget,
         myers_search_plan,
+        search_chain_plan,
         suggest_own_len,
     )
 
@@ -1217,10 +1218,14 @@ def levenshtein_search_simd_with_opts(
         )
 
         interpret = jax.default_backend() != "tpu"
+        chains = 1
         if anchored:
             own_len = anchored_seg  # one segment spanning the whole window
         elif engine == "subgroup":
-            own_len = min(suggest_own_len(m, halo),
+            # interleaved chains fill the serial bit chain's issue stalls
+            # (+41% on v5e) when the haystack is big enough to feed them
+            chains = search_chain_plan(m, halo, iter_len)
+            own_len = min(suggest_own_len(m, halo, chains),
                           round_up_pow2(iter_len, 128))
         elif engine == "blocked":
             own_len = min(suggest_own_len_blocked(m, halo),
@@ -1264,6 +1269,7 @@ def levenshtein_search_simd_with_opts(
                 anchored=anchored,
                 interpret=interpret,
                 damerau=damerau,
+                chains=chains,
             )
         elif engine == "blocked":
             OUT = -(-(seg_len + 1) // 8) * 8
@@ -1325,7 +1331,7 @@ def levenshtein_search_simd_with_opts(
             _, gpos, d_arr = collect_hits(
                 blocks, rb, cols, k,
                 OUT=OUT, G=G, C=C, halo=halo, own_len=own_len,
-                limit_pos=iter_len, t_offset=t_off,
+                limit_pos=iter_len, t_offset=t_off, chains=chains,
             )
         span = min(
             window_span(m, k, costs.gap_cost, costs.start_gap_cost), n

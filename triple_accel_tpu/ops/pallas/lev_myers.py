@@ -88,15 +88,20 @@ def _make_kernel(k: int, max_m: int, chains: int = 1):
     topoff = (Wp - 1) % WORD
     CH = chains
 
+    MB = max_m + WIN
+
     def kernel(a_ref, b_ref, m_ref, dlen_ref, ukl_ref, out_ref):
-        # a_ref:    [G*max_m, CH*LANES]        chars of a per block (-1 pad)
-        # b_ref:    [G*(max_m+WIN), CH*LANES]  chars of b at per-pair ukl
-        # m/dlen/ukl_ref: [8, CH*LANES]        per-pair len(a), len(b)-len(a),
+        # a_ref:    [CH*G*max_m, LANES]  chars of a per block (-1 pad)
+        # b_ref:    [CH*G*MB, LANES]     chars of b at per-pair ukl
+        # m/dlen/ukl_ref: [CH*8, LANES]  per-pair len(a), len(b)-len(a),
         #     ukL — pre-expanded on the host onto each block's subgroup rows
         # chains > 1: CH independent 128-lane blocks advance per loop step
         # with their bit chains interleaved — the serial Myers chain issues
         # below 1 op/cycle on dependent ops, and the other chains' ops fill
-        # those stalls (measured A/B via BENCH_CHAINS / dispatcher default)
+        # those stalls (measured A/B via BENCH_CHAINS / dispatcher default).
+        # Chains ride the SUBLANE axis (band c*G*max_m etc.): Mosaic
+        # rejects dynamic sublane loads combined with a lane offset, so
+        # every load/store must stay full-lane.
         row = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
         sub = row & (SG - 1)  # word index within the subgroup
         ones = jnp.ones((8, LANES), jnp.int32)
@@ -104,11 +109,9 @@ def _make_kernel(k: int, max_m: int, chains: int = 1):
         top_tile = jnp.where(sub == topw, jnp.int32(1) << topoff, 0)
         zero = jnp.zeros((8, LANES), jnp.int32)
 
-        m_tiles = [m_ref[:, c * LANES:(c + 1) * LANES] for c in range(CH)]
-        ukl_tiles = [ukl_ref[:, c * LANES:(c + 1) * LANES]
-                     for c in range(CH)]
-        dlen_tiles = [dlen_ref[:, c * LANES:(c + 1) * LANES]
-                      for c in range(CH)]
+        m_tiles = [m_ref[c * 8:(c + 1) * 8, :] for c in range(CH)]
+        ukl_tiles = [ukl_ref[c * 8:(c + 1) * 8, :] for c in range(CH)]
+        dlen_tiles = [dlen_ref[c * 8:(c + 1) * 8, :] for c in range(CH)]
 
         def bnot(x):
             return x ^ maskw
@@ -176,13 +179,12 @@ def _make_kernel(k: int, max_m: int, chains: int = 1):
         ]
 
         def eq_for_row(i, c):
-            lo = c * LANES
             eqs = []
             for u in range(G):
-                a_char = a_ref[pl.ds(u * max_m + i - 1, 1), lo:lo + LANES]
-                bwin = b_ref[
-                    pl.ds(u * (max_m + WIN) + i - 1, WIN), lo:lo + LANES
+                a_char = a_ref[
+                    pl.ds(c * G * max_m + u * max_m + i - 1, 1), :
                 ]
+                bwin = b_ref[pl.ds(c * G * MB + u * MB + i - 1, WIN), :]
                 eqs.append(
                     jnp.where(bwin == a_char, 1.0, 0.0).astype(jnp.float32)
                 )
@@ -282,9 +284,10 @@ def _make_kernel(k: int, max_m: int, chains: int = 1):
                 acc = acc + roll_up(acc, d)
                 d <<= 1
             res = rA + acc  # valid at rows u*SG
-            lo = c * LANES
             for u in range(G):
-                out_ref[u:u + 1, lo:lo + LANES] = res[u * SG:u * SG + 1, :]
+                out_ref[c * G + u:c * G + u + 1, :] = res[
+                    u * SG:u * SG + 1, :
+                ]
 
     return kernel, G, WIN
 
@@ -345,27 +348,53 @@ def myers_distance_pallas(
         b_t = jnp.where(
             (jb >= ug) & (jb < ug + ng), b3.astype(jnp.int32), -2
         ).reshape(G * MB, BG)
-    CL = CH * LANES
-    return pl.pallas_call(
+    if CH > 1:
+        # restack on device: chain c of lane-block gb2 takes the standard
+        # layout's lane-block gb = gb2*CH + c onto its sublane band
+        # (chains must ride sublanes — Mosaic rejects dynamic sublane
+        # loads combined with a lane offset); the output inverts this
+        nb = BG // (CH * LANES)
+
+        def restack(x, rows):
+            return (
+                x.reshape(rows, nb, CH, LANES)
+                .transpose(2, 0, 1, 3)
+                .reshape(CH * rows, nb * LANES)
+            )
+
+        MBW = max_m + WIN
+        a_t = restack(a_t, G * max_m)
+        b_t = restack(b_t, G * MBW)
+        m = restack(m, 8)
+        dlen = restack(dlen, 8)
+        ukl = restack(ukl, 8)
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((G * max_m, CL), lambda g: (0, g),
+            pl.BlockSpec((CH * G * max_m, LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * (max_m + WIN), CL), lambda g: (0, g),
+            pl.BlockSpec((CH * G * (max_m + WIN), LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, CL), lambda g: (0, g),
+            pl.BlockSpec((CH * 8, LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, CL), lambda g: (0, g),
+            pl.BlockSpec((CH * 8, LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, CL), lambda g: (0, g),
+            pl.BlockSpec((CH * 8, LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, CL), lambda g: (0, g),
+        out_specs=pl.BlockSpec((CH * G, LANES), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, BG), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((CH * G, BG // CH), jnp.int32),
         interpret=interpret,
     )(a_t, b_t, m, dlen, ukl)
+    if CH > 1:
+        out = (
+            out.reshape(CH, G, nb, LANES)
+            .transpose(1, 2, 0, 3)
+            .reshape(G, BG)
+        )
+    return out
 
 
 def prepare_myers_inputs(a_list, b_list, k: int, max_m: int, ks=None):

@@ -45,6 +45,7 @@ __all__ = [
     "myers_search_block_mins_from_hay",
     "seg_count",
     "myers_search_plan",
+    "search_chain_plan",
     "myers_blocked_plan",
     "blocked_search_pallas",
     "blocked_search_block_mins",
@@ -150,14 +151,40 @@ def myers_search_plan(needle_len: int):
     return NW, R, 1, NW * WORD
 
 
-def suggest_own_len(needle_len: int, halo: int) -> int:
+def suggest_own_len(needle_len: int, halo: int, chains: int = 1) -> int:
     """Owned haystack bytes per segment that keep the kernel's VMEM blocks
-    (G*(width + seg_len + 1) int32 rows, double-buffered) within ~8MB."""
+    (chains*G*(width + seg_len + 1) int32 rows, double-buffered) within
+    budget: ~8MB for the single-chain kernel, ~15MB total for interleaved
+    chains (measured ceiling — the chained A/B ran at 15.2MB; 29MB OOMs
+    the 16MB scoped VMEM)."""
     plan = myers_search_plan(needle_len)
     G = plan[2] if plan else 1
-    total_rows = 8 * 1024 * 1024 // (LANES * 4 * 2)
+    budget = 8 * 1024 * 1024 if chains == 1 else 15 * 1024 * 1024 // chains
+    total_rows = budget // (LANES * 4 * 2)
     seg_budget = max(total_rows // G // 2 - halo - 16, 128)
     return max(128, (seg_budget // 128) * 128)
+
+
+def search_chain_plan(needle_len: int, halo: int, iter_len: int) -> int:
+    """How many interleaved chains the subgroup search kernel should run.
+
+    The serial Myers bit chain issues below one op per cycle on dependent
+    ops; a second independent chain fills those stalls (+41% measured on
+    v5e, benches/search_kernel_profile.py).  Worth it only when the
+    haystack still yields >= 2 grid steps of 2*128 segment blocks at the
+    chain-aware owned length, and the shrunken segments don't drown the
+    win in halo re-compute (own_len must stay >= halo)."""
+    plan = myers_search_plan(needle_len)
+    if plan is None:
+        return 1
+    G = plan[2]
+    own2 = suggest_own_len(needle_len, halo, chains=2)
+    if own2 < max(halo, 256):
+        return 1
+    # >= 2 grid steps of CH*LANES segment columns at own2-sized segments
+    if seg_count(iter_len, own2) < 2 * 2 * G * LANES:
+        return 1
+    return 2
 
 
 def myers_halo_budget(needle_len: int) -> int:
@@ -183,7 +210,8 @@ def needle_rows(needle_len: int) -> int:
 
 
 def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
-                 tiled_stores: bool = True, damerau: bool = False):
+                 tiled_stores: bool = True, damerau: bool = False,
+                 chains: int = 1):
     m = needle_len
     NW, SG, G, WIN = myers_search_plan(m)
     TR = SG * G  # state-tile rows: 8 (subgroup-packed) or roundup(NW, 8)
@@ -203,12 +231,23 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
     SP = 8 // G
     OUT = _round_up(seg_len + 1, 8)
     assert width >= OUT - 1, (width, OUT)
+    CH = chains  # independent chains interleaved per grid step (see below)
 
     def kernel(nchar_ref, seg_ref, out_ref):
-        # nchar_ref: [WINP, LANES]     needle chars on sublanes (-1 padded),
-        #                              replicated across lanes
-        # seg_ref:   [G*width, LANES]  text chars per segment-block (-2 pad)
-        # out_ref:   [G*OUT, LANES]    D[m][j], packed-step layout above
+        # nchar_ref: [WINP, LANES]        needle chars on sublanes (-1
+        #                                 padded), replicated across lanes
+        # seg_ref:   [CH*G*width, LANES]  text chars per segment-block
+        #                                 (-2 pad); chain c's segments at
+        #                                 sublane band c*G*width
+        # out_ref:   [CH*G*OUT, LANES]    D[m][j], packed-step layout above
+        #                                 per chain band c*G*OUT
+        # chains > 1: CH independent 128-lane segment blocks advance per
+        # loop step with their Myers bit chains interleaved — the serial
+        # chain issues below 1 op/cycle on dependent ops; the other
+        # chains' mutually independent ops fill those stalls (+41%
+        # measured on v5e, benches/search_kernel_profile.py).  Chains ride
+        # the SUBLANE axis: Mosaic rejects dynamic sublane loads combined
+        # with a lane offset, so every load/store stays full-lane.
         row = lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
         sub = row if G == 1 else row & (SG - 1)
         maskw = jnp.where(
@@ -267,17 +306,17 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
         wts = [eq_weights(u) for u in range(G)]
         nchar = nchar_ref[...]
 
-        def eq_for_step(t):
+        def eq_for_step(t, c=0):
             Eq_f = jnp.zeros((TR, LANES), jnp.float32)
             for u in range(G):
-                char = seg_ref[pl.ds(u * width + t - 1, 1), :]
+                char = seg_ref[pl.ds(c * G * width + u * width + t - 1, 1), :]
                 eqf = jnp.where(nchar == char, 1.0, 0.0).astype(jnp.float32)
                 Eq_f = Eq_f + jnp.dot(
                     wts[u], eqf, preferred_element_type=jnp.float32
                 )
             return Eq_f.astype(jnp.int32) & maskw
 
-        def step(t, state, Eq):
+        def step(t, state, Eq, c=0):
             # restricted-Damerau extension (RDAMERAU_COSTS): a transposition
             # at (i, t) is a diagonal-zero SEED exactly when p[i]=txt[t-1],
             # p[i-1]=txt[t], and the previous column's diagonal delta at
@@ -316,7 +355,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
                 # (seg_len, OUT) are sentinel-filled after the loop.
                 @pl.when(t < OUT)
                 def _():
-                    base = (t // SP) * 8 + (t % SP)
+                    base = c * G * OUT + (t // SP) * 8 + (t % SP)
                     for u in range(G):
                         out_ref[pl.ds(base + u * SP, 1), :] = S[
                             u * SG + wS : u * SG + wS + 1, :
@@ -326,6 +365,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
             return (Pv, Mv, S)
 
         s0 = jnp.full((TR, LANES), m, jnp.int32)
+        nst = 5 if damerau else 3
         state0 = (maskw, zero, s0, zero, zero) if damerau else (maskw, zero, s0)
         if tiled_stores:
             # compiled form: pack SG consecutive steps' score rows into one
@@ -333,56 +373,72 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
             # old per-step roll+select per SUBGROUP = 2G ops/step), one
             # aligned store per SG steps.  For SG = 1 the score tile is
             # stored as-is — zero shuffle ops on the store path.
-            def tile(t0, state, pk, r_lo):
+            def tile(t0, states, pks, r_lo):
                 # t0 is 8*tb (a tracer inside fori_loop) and SP | 8, so the
                 # packed slot s and the flush decision are STATIC in r
-                eqs = [eq_for_step(t0 + r) for r in range(r_lo, 8)]
+                eqs = [[eq_for_step(t0 + r, c) for r in range(r_lo, 8)]
+                       for c in range(CH)]
                 for r in range(r_lo, 8):
-                    state = step(t0 + r, state, eqs[r - r_lo])
-                    S = state[2]
+                    # advance every chain one step back-to-back: the CH
+                    # chains' ops are mutually independent, so the VPU
+                    # issues them in the other chains' dependency stalls
+                    for c in range(CH):
+                        states[c] = step(t0 + r, states[c], eqs[c][r - r_lo])
                     s = r % SP
                     # move state row u*SG+wS to packed row u*SP+s; for
                     # G == 1 this selects plain row s (u = 0)
                     sh = (s - wS) % TR
-                    rolled = pltpu.roll(S, sh, axis=0) if sh else S
                     sel = sub if G > 1 else row
-                    pk = rolled if SP == 1 else jnp.where(sel == s, rolled,
-                                                          pk)
+                    for c in range(CH):
+                        S = states[c][2]
+                        rolled = pltpu.roll(S, sh, axis=0) if sh else S
+                        pks[c] = rolled if SP == 1 else jnp.where(
+                            sel == s, rolled, pks[c])
                     if s == SP - 1:
                         p = t0 // SP + r // SP
-                        out_ref[pl.ds(p * 8, 8), :] = pk[0:8, :]
-                return state, pk
+                        for c in range(CH):
+                            out_ref[pl.ds(c * G * OUT + p * 8, 8), :] = (
+                                pks[c][0:8, :])
+                return states, pks
 
             if SP == 1:
                 # t = 0's packed tile is never flushed in-loop (r_lo = 1):
                 # store D[m][0] = m for every subgroup up front
-                out_ref[pl.ds(0, 8), :] = s0[0:8, :]
+                for c in range(CH):
+                    out_ref[pl.ds(c * G * OUT, 8), :] = s0[0:8, :]
             # tile 0: pk starts as s0, so the s = 0 rows (t = 0) already
             # hold D[m][0] = m for every subgroup (SG > 1)
-            state, _ = tile(0, state0, s0, 1)
+            states, _ = tile(0, [state0] * CH, [s0] * CH, 1)
 
-            def body(tb, carry):
-                return tile(8 * tb, carry[0], zero, 0)
+            def body(tb, flat):
+                sts = [tuple(flat[nst * c:nst * c + nst]) for c in range(CH)]
+                sts, _ = tile(8 * tb, sts, [zero] * CH, 0)
+                return sum((list(s) for s in sts), [])
 
-            lax.fori_loop(1, OUT // 8, body, (state, zero))
+            lax.fori_loop(1, OUT // 8, body,
+                          sum((list(s) for s in states), []))
         else:
             # D[m][0] = m, both modes (packed rows u*SP + 0)
-            for u in range(G):
-                out_ref[u * SP : u * SP + 1, :] = jnp.full(
-                    (1, LANES), m, jnp.int32
-                )
+            for c in range(CH):
+                for u in range(G):
+                    out_ref[c * G * OUT + u * SP : c * G * OUT + u * SP + 1,
+                            :] = jnp.full((1, LANES), m, jnp.int32)
 
-            def body(tt, state):
+            def body(tt, flat):
                 # UNROLL chars per iteration: each step's Eq pipeline is
                 # independent of the previous step's bit chain
+                sts = [tuple(flat[nst * c:nst * c + nst]) for c in range(CH)]
                 t0 = UNROLL * (tt - 1) + 1
-                eqs = [eq_for_step(t0 + r) for r in range(UNROLL)]
+                eqs = [[eq_for_step(t0 + r, c) for r in range(UNROLL)]
+                       for c in range(CH)]
                 for r in range(UNROLL):
-                    state = step(t0 + r, state, eqs[r])
-                return state
+                    for c in range(CH):
+                        sts[c] = step(t0 + r, sts[c], eqs[c][r], c)
+                return sum((list(s) for s in sts), [])
 
             SL = _round_up(seg_len, UNROLL)
-            lax.fori_loop(1, SL // UNROLL + 1, body, state0)
+            lax.fori_loop(1, SL // UNROLL + 1, body,
+                          sum((list(s) for s in [state0] * CH), []))
 
         # rows for end positions past seg_len are pad garbage: overwrite
         # with a +inf sentinel so callers can min/filter the RAW padded
@@ -391,16 +447,18 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
         # throughput).  The packed boundary tile p_b may interleave valid
         # (s <= sb) and garbage rows; tiles after it are fully garbage.
         p_b, sb = seg_len // SP, seg_len % SP
-        if sb != SP - 1:
-            cur = out_ref[p_b * 8 : p_b * 8 + 8, :]
-            spos = lax.broadcasted_iota(jnp.int32, (8, LANES), 0) % SP
-            out_ref[p_b * 8 : p_b * 8 + 8, :] = jnp.where(
-                spos > sb, jnp.full((8, LANES), 1 << 30, jnp.int32), cur
-            )
-        if (p_b + 1) * 8 < G * OUT:
-            out_ref[(p_b + 1) * 8 : G * OUT, :] = jnp.full(
-                (G * OUT - (p_b + 1) * 8, LANES), 1 << 30, jnp.int32
-            )
+        for c in range(CH):
+            co = c * G * OUT
+            if sb != SP - 1:
+                cur = out_ref[co + p_b * 8 : co + p_b * 8 + 8, :]
+                spos = lax.broadcasted_iota(jnp.int32, (8, LANES), 0) % SP
+                out_ref[co + p_b * 8 : co + p_b * 8 + 8, :] = jnp.where(
+                    spos > sb, jnp.full((8, LANES), 1 << 30, jnp.int32), cur
+                )
+            if (p_b + 1) * 8 < G * OUT:
+                out_ref[co + (p_b + 1) * 8 : co + G * OUT, :] = jnp.full(
+                    (G * OUT - (p_b + 1) * 8, LANES), 1 << 30, jnp.int32
+                )
 
     return kernel, NW, SG, G, WIN
 
@@ -409,7 +467,7 @@ def _make_kernel(needle_len: int, width: int, seg_len: int, anchored: bool,
     jax.jit,
     static_argnames=(
         "needle_len", "width", "seg_len", "anchored", "num_needles",
-        "interpret", "damerau", "tiled",
+        "interpret", "damerau", "tiled", "chains",
     ),
 )
 def myers_search_pallas(
@@ -425,6 +483,7 @@ def myers_search_pallas(
     interpret: bool = False,
     damerau: bool = False,
     tiled: bool | None = None,  # tests only: force the store scheme
+    chains: int = 1,
 ):
     """Per-end-position search distances D[needle_len][j], j in [0, seg_len],
     for every (needle, segment) pair, in the RAW packed-step layout:
@@ -442,21 +501,65 @@ def myers_search_pallas(
     the grid is (num_needles, segment blocks) — the haystack is uploaded
     and held ONCE and every needle of the same length class sweeps it in
     one launch.
+
+    `chains` > 1 advances that many independent segment blocks per grid
+    step with their Myers bit chains interleaved (fills the serial
+    chain's dependent-op issue stalls; +26% e2e measured on v5e at
+    chains=2).  The result then stays in the RAW CHAINED layout —
+    [num_needles*chains*G*OUT, roundup(BG, chains*128)//chains] with
+    needle n / chain ch's packed-step rows at band (n*chains + ch)*G*OUT
+    and original lane-block gb = gb2*chains + ch at columns
+    gb2*128 + lane — because un-restacking costs a measured ~15% of the
+    kernel itself.  Reductions (block minima, hit counts) are
+    layout-agnostic; `collect_hits(chains=...)` decodes positions.
     """
     # tiled stores compile faster on chip, per-char stores run faster
     # under the python interpreter; both emit the identical packed-step
     # layout (tests force each via `tiled`)
+    CH = chains
     kernel, NW, SG, G, WIN = _make_kernel(needle_len, width, seg_len,
                                           anchored,
                                           tiled_stores=(
                                               not interpret if tiled is None
                                               else tiled),
-                                          damerau=damerau)
+                                          damerau=damerau, chains=CH)
     WINP = needle_rows(needle_len)
     BG = seg_t.shape[1]
-    assert BG % LANES == 0 and seg_t.shape[0] == G * width
+    assert BG % LANES == 0 and seg_t.shape[0] == CH * G * width
     assert nchar.shape == (num_needles * WINP, LANES)
     OUT = _round_up(seg_len + 1, 8)
+    if CH > 1:
+        # seg_t must arrive ALREADY in the chained layout ([CH*G*width,
+        # nbc*LANES], built by device_grouped_transpose(chains=CH) /
+        # prepare_myers_segs(chains=CH) at zero extra cost — the same
+        # single transpose that builds the standard layout).  A post-hoc
+        # device restack of the standard layout measured 4ms/rep on a
+        # 64MB haystack (a third of the kernel itself), and un-restacking
+        # the int32 output costs the same again, so the output stays in
+        # the RAW CHAINED layout: needle n, chain ch's packed-step rows
+        # at band (n*CH + ch)*G*OUT, original lane-block gb = gb2*CH + ch
+        # at columns gb2*LANES + lane.  Block-min / hit-count reductions
+        # are layout-agnostic; collect_hits(chains=CH) decodes positions.
+        nbc = BG // LANES
+        assert nbc >= 2, (BG, CH)  # Mosaic needs >= 2 grid steps
+        seg_c = seg_t.astype(jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid=(num_needles, nbc),
+            in_specs=[
+                pl.BlockSpec((WINP, LANES), lambda n, g: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CH * G * width, LANES), lambda n, g: (0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((CH * G * OUT, LANES),
+                                   lambda n, g: (n, g),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (num_needles * CH * G * OUT, nbc * LANES), jnp.int32
+            ),
+            interpret=interpret,
+        )(nchar, seg_c)
     # segments may arrive as uint8 (4x less host->device traffic); the
     # kernel compares against int32 needle chars, so widen on device first
     seg_t = seg_t.astype(jnp.int32)
@@ -533,11 +636,32 @@ def device_windows(hay: jnp.ndarray, *, halo: int, own_len: int, num: int):
     return win[:, :seg_len]
 
 
-def device_grouped_transpose(win: jnp.ndarray, G: int, width: int):
+def device_grouped_transpose(win: jnp.ndarray, G: int, width: int,
+                             chains: int = 1):
     """prepare_myers_segs ON DEVICE: [C0, width0] windows -> [G*width, BG]
     uint8 in the kernels' grouped transposed layout (G = 1 degenerates to
-    the blocked/chunked engines' plain [width, BG] transpose)."""
+    the blocked/chunked engines' plain [width, BG] transpose).
+
+    chains > 1 emits the CHAINED layout [chains*G*width, nbc*LANES]
+    directly — segment c = ((gb2*chains + ch)*G + u)*128 + lane lands on
+    sublane band (ch*G + u)*width, column gb2*128 + lane — for the SAME
+    single-transpose cost (a post-hoc restack of the standard layout
+    measured 4ms per 64MB haystack, a third of the search kernel
+    itself)."""
     C0, width0 = win.shape
+    CH = chains
+    if CH > 1:
+        BG = max(_round_up(max(-(-C0 // G), 1), CH * LANES), 2 * CH * LANES)
+        nbc = BG // (CH * LANES)
+        w = jnp.pad(win, ((0, nbc * CH * G * LANES - C0), (0, 0)))
+        st = (
+            w.reshape(nbc, CH, G, LANES, width0)
+            .transpose(1, 2, 4, 0, 3)
+            .reshape(CH * G, width0, nbc * LANES)
+        )
+        return jnp.pad(st, ((0, 0), (0, width - width0), (0, 0))).reshape(
+            CH * G * width, nbc * LANES
+        )
     BG = max(_round_up(max(-(-C0 // G), 1), LANES), 2 * LANES)
     nG = BG // LANES
     w = jnp.pad(win, ((0, nG * G * LANES - C0), (0, 0)))
@@ -565,7 +689,7 @@ BLOCK = 512  # rows per candidate block in the two-phase hit fetch
 
 @partial(jax.jit, static_argnames=("needle_len", "width", "seg_len",
                                    "anchored", "num_needles", "interpret",
-                                   "damerau"))
+                                   "damerau", "chains"))
 def myers_search_block_mins(
     nchar: jnp.ndarray,
     seg_t: jnp.ndarray,
@@ -577,6 +701,7 @@ def myers_search_block_mins(
     num_needles: int = 1,
     interpret: bool = False,
     damerau: bool = False,
+    chains: int = 1,
 ):
     """Phase 1 of the two-phase hit fetch: run the search kernel, leave the
     distance tiles in device memory, return (dist, per-BLOCK column minima).
@@ -592,7 +717,7 @@ def myers_search_block_mins(
     dist = myers_search_pallas(
         nchar, seg_t, needle_len=needle_len, width=width,
         seg_len=seg_len, anchored=anchored, num_needles=num_needles,
-        interpret=interpret, damerau=damerau,
+        interpret=interpret, damerau=damerau, chains=chains,
     )
     R = dist.shape[0]
     pad = (-R) % BLOCK
@@ -604,7 +729,7 @@ def myers_search_block_mins(
 @partial(
     jax.jit,
     static_argnames=("needle_len", "halo", "own_len", "num", "anchored",
-                     "num_needles", "interpret", "damerau"),
+                     "num_needles", "interpret", "damerau", "chains"),
 )
 def myers_search_block_mins_from_hay(
     hay: jnp.ndarray,  # [<= num*own_len] uint8 raw haystack
@@ -618,6 +743,7 @@ def myers_search_block_mins_from_hay(
     num_needles: int = 1,
     interpret: bool = False,
     damerau: bool = False,
+    chains: int = 1,
 ):
     """myers_search_block_mins fed from the RAW haystack: windowing and the
     grouped transpose run on device inside the same jit (one dispatch, one
@@ -626,11 +752,11 @@ def myers_search_block_mins_from_hay(
     seg_len = halo + own_len
     width = _round_up(seg_len + 1, 8)
     win = device_windows(hay, halo=halo, own_len=own_len, num=num)
-    seg_t = device_grouped_transpose(win, G, width)
+    seg_t = device_grouped_transpose(win, G, width, chains=chains)
     return myers_search_block_mins(
         nchar, seg_t, needle_len=needle_len, width=width, seg_len=seg_len,
         anchored=anchored, num_needles=num_needles, interpret=interpret,
-        damerau=damerau,
+        damerau=damerau, chains=chains,
     )
 
 
@@ -663,26 +789,41 @@ def prepare_myers_needles(needles, needle_len: int) -> np.ndarray:
     return nchar
 
 
-def prepare_myers_segs(seg_pad: np.ndarray, G: int) -> np.ndarray:
+def prepare_myers_segs(seg_pad: np.ndarray, G: int,
+                       chains: int = 1) -> np.ndarray:
     """Pack raw haystack segments ([C, width0] row-major) into the
     G-grouped transposed layout [G*width, BG] (uint8) — the needle-free
     half of the search-input prep, shared by every same-G needle group
     over the same haystack (levenshtein_search_many packs each (G, halo,
-    own_len) combination once)."""
+    own_len) combination once).  chains > 1 emits the CHAINED layout
+    (see device_grouped_transpose)."""
     seg_pad = np.ascontiguousarray(seg_pad, dtype=np.uint8)
     C0, width0 = seg_pad.shape
+    CH = chains
     # the kernel's tiled stores sweep chars up to OUT-1 = roundup(w0+1,8)-1,
     # and Mosaic blocks need 8-divisible heights
     width = _round_up(max(width0, 1) + 1, 8)
     # at least two 128-lane grid blocks — this Mosaic runtime faults the
     # TPU worker on single-step grids
-    BG = max(_round_up(max(-(-C0 // G), 1), LANES), 2 * LANES)
+    BG = max(_round_up(max(-(-C0 // G), 1), CH * LANES), 2 * CH * LANES)
     nG = BG // LANES
 
     # vectorized grouped transpose: segment c = g*(G*128) + u*128 + lane
-    # lands at rows [u*width, u*width+width0), column g*128 + lane
+    # lands at rows [u*width, u*width+width0), column g*128 + lane (for
+    # chains > 1: chain ch = g % CH takes band (ch*G + u)*width, column
+    # (g // CH)*128 + lane)
     segs_full = np.zeros((nG * G * LANES, width0), dtype=np.uint8)
     segs_full[:C0] = seg_pad
+    if CH > 1:
+        nbc = BG // (CH * LANES)
+        st = (
+            segs_full.reshape(nbc, CH, G, LANES, width0)
+            .transpose(1, 2, 4, 0, 3)
+            .reshape(CH * G, width0, nbc * LANES)
+        )
+        seg_t = np.zeros((CH * G * width, nbc * LANES), dtype=np.uint8)
+        seg_t.reshape(CH * G, width, nbc * LANES)[:, :width0, :] = st
+        return seg_t
     st = (
         segs_full.reshape(nG, G, LANES, width0)
         .transpose(1, 3, 0, 2)
@@ -693,22 +834,23 @@ def prepare_myers_segs(seg_pad: np.ndarray, G: int) -> np.ndarray:
     return seg_t
 
 
-def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
+def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray,
+                                chains: int = 1):
     """Pack raw haystack segments ([C, width0] row-major, chars from row 0;
     e.g. chunk_raw's view, or chunk_haystack's seg_pad sliced at its char
     offset needle_len+1) into the grouped transposed layout; returns
     (nchar, seg_t, decode) where seg_t is uint8 (converted to int32 on
     device — 4x less upload) and decode(out, seg_len) reorders the kernel
-    output back to [C, seg_len+1].  Segment pad bytes are 0: they can
-    produce spurious Eq matches only at positions the stitch never reads
-    (beyond each segment's data / unused lanes)."""
+    output back to [C, seg_len+1] (single-chain layout only).  Segment pad
+    bytes are 0: they can produce spurious Eq matches only at positions
+    the stitch never reads (beyond each segment's data / unused lanes)."""
     m = len(needle)
     plan = myers_search_plan(m)
     assert plan is not None
     NW, SG, G, WIN = plan
     SP = 8 // G
     C0 = np.asarray(seg_pad).shape[0]
-    seg_t = prepare_myers_segs(seg_pad, G)
+    seg_t = prepare_myers_segs(seg_pad, G, chains=chains)
     BG = seg_t.shape[1]
     nG = BG // LANES
 
@@ -719,6 +861,7 @@ def prepare_myers_search_inputs(needle: np.ndarray, seg_pad: np.ndarray):
         # invert the packed-step layout: raw row (t//SP)*8 + u*SP + (t%SP),
         # column g*LANES + lane -> segment c = g*(G*128) + u*128 + lane,
         # end position t
+        assert chains == 1, "chained layout decodes via collect_hits"
         OUT = _round_up(seg_len + 1, 8)
         d = np.asarray(out).reshape(OUT // SP, G, SP, nG, LANES)
         d = np.transpose(d, (3, 1, 4, 0, 2)).reshape(nG * G * LANES, OUT)
@@ -1066,6 +1209,7 @@ def collect_hits(
     num_needles: int = 1,
     t_offset: int = 0,
     lblocks=None,
+    chains: int = 1,
 ):
     """Vectorized mapping of gathered candidate blocks to owned global hit
     positions — the whole dense regime runs as numpy array math, no
@@ -1079,7 +1223,9 @@ def collect_hits(
     D[r+1]; D[0] is not emitted — callers append the end-0 candidate
     when m <= k).  With `lblocks` (the matching gathered length blocks,
     engines whose DP tracks lengths inline), a fourth array of lengths
-    is returned.
+    is returned.  `chains` decodes the raw CHAINED layout (chains > 1 in
+    myers_search_pallas): chain band ch within each needle's rows, and
+    original lane-block g*chains + ch.
     """
     nb = rb.size
     blk = blocks[:nb]
@@ -1096,7 +1242,10 @@ def collect_hits(
     col = cols[bi_idx].astype(np.int64)
     g, lane = col // LANES, col % LANES
     r = rb[bi_idx].astype(np.int64) * BLOCK + off_idx
-    ni, rem = r // (G * OUT), r % (G * OUT)
+    ni, rem = r // (chains * G * OUT), r % (chains * G * OUT)
+    if chains > 1:
+        ch, rem = rem // (G * OUT), rem % (G * OUT)
+        g = g * chains + ch  # original lane-block index
     # packed-step layout (myers_search_pallas): row = (t//SP)*8 + u*SP +
     # (t%SP), SP = 8//G; for G == 1 (blocked / chunked / flat layouts)
     # this degenerates to the plain row layout u = 0, t = rem
