@@ -1,10 +1,10 @@
 #!/bin/bash
-# Queued on-chip work for tunnel recovery (round 3).  Runs each item
-# under its own log in /tmp/onchip_r3/; safe to re-run (items skip if
+# Queued on-chip work for tunnel recovery (round 4).  Runs each item
+# under its own log in /tmp/onchip_r4/; safe to re-run (items skip if
 # their .done marker exists).  Usage: bash benches/onchip_queue.sh
 set -u
 cd /root/repo
-OUT=/tmp/onchip_r3
+OUT=/tmp/onchip_r4
 mkdir -p "$OUT"
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/tmp/ta_tpu_jax_cache
@@ -20,18 +20,14 @@ run() {  # run <name> <timeout-s> <cmd...>
   fi
 }
 
-# 1. verify demo (user-style flows on the chip)
-run verify 1200 env -C /tmp/verify_ta python demo.py
-# 2. distance-kernel chains A/B (headline metric)
-run bench_ch1 2400 env BENCH_CHAINS=1 python bench.py
-run bench_ch2 2400 env BENCH_CHAINS=2 python bench.py
-# 3. search kernel attribution (packed stores, compare window, chains)
+# 1. headline bench (transform hoisted out of the timed loop)
+run bench 2400 python bench.py
+# 2. search kernel attribution (roofline follow-up)
 run prof_m24 2400 env PROF_MB=64 PROF_M=24 python benches/search_kernel_profile.py
-run prof_m120 2400 env PROF_MB=16 PROF_M=120 python benches/search_kernel_profile.py
-# 4. compiled-kernel fuzz — 0 mismatches is the bar
+# 3. compiled-kernel fuzz — 0 mismatches is the bar
 run fuzz 5400 python benches/tpu_fuzz.py
-# 5. search bench headline
+# 4. search bench headline
 run bench_search 2400 python bench_search.py
-# 6. criterion-equivalent groups (incl. dense/sparse hamming, dictionary)
+# 5. criterion-equivalent groups (incl. dense/sparse hamming, dictionary)
 run randbench 3600 python benches/rand_benchmarks.py
 echo "queue complete; logs in $OUT"
