@@ -265,5 +265,79 @@ for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS):
         if int(got[i]) != ref[0]:
             bad += 1; print(f"CHAINLESS DIST {costs} i{i}: {got[i]} vs {ref[0]}")
 print("chainless chunked fuzz done")
+
+# 11. chained search kernel (chains=2) COMPILED on chip: production
+# dispatch auto-enables it for multi-MB haystacks (search_chain_plan), so
+# force it directly at a small shape and differentially check every owned
+# position's distance against the oracle's per-end costs
+from triple_accel_tpu.ops.pallas.search_myers import (  # noqa: E402
+    collect_hits, myers_gather_blocks, myers_search_block_mins_from_hay,
+    myers_search_plan, prepare_myers_needles, seg_count)
+
+m, k = 24, 4
+needle = rng.integers(65, 70, m).astype(np.uint8)
+n = 4096
+hay = rng.integers(65, 70, n).astype(np.uint8)
+mut = needle.copy(); mut[rng.integers(0, m, 2)] = 65
+hay[1000:1000+m] = mut
+hay[2040:2040+m] = needle
+own_len, halo = 256, 256
+C = seg_count(n, own_len)
+G = myers_search_plan(m)[2]
+seg_len = halo + own_len
+OUT = -(-(seg_len + 1) // 8) * 8
+nchar = prepare_myers_needles([needle], m)
+dist_d, mins_d = myers_search_block_mins_from_hay(
+    hay, nchar, needle_len=m, halo=halo, own_len=own_len, num=C, chains=2)
+mins = np.asarray(mins_d)
+rb, cols = np.nonzero(mins <= k)
+pad_n = 1 << max(3, int(np.ceil(np.log2(max(rb.size, 2)))))
+rb_p = np.empty(pad_n, np.int32); cols_p = np.empty(pad_n, np.int32)
+rb_p[:rb.size], rb_p[rb.size:] = rb, rb[-1] if rb.size else 0
+cols_p[:cols.size], cols_p[cols.size:] = cols, cols[-1] if cols.size else 0
+blocks = np.asarray(myers_gather_blocks(dist_d, rb_p, cols_p))
+_, gpos, d_arr = collect_hits(
+    blocks, rb, cols, k, OUT=OUT, G=G, C=C, halo=halo, own_len=own_len,
+    limit_pos=n, chains=2)
+exp_by_end = {mt.end: mt.k for mt in levenshtein_search_naive_with_opts(
+    needle, hay, k, SearchType.All, LEVENSHTEIN_COSTS, False)}
+got_by_end = dict(zip(gpos.tolist(), d_arr.tolist()))
+if got_by_end != exp_by_end:
+    bad += 1
+    miss = set(exp_by_end) ^ set(got_by_end)
+    print(f"CHAINED SEARCH: {len(miss)} end-position mismatches {sorted(miss)[:5]}")
+print("chained (chains=2) search fuzz done")
+
+# 12. mesh wrappers COMPILED on chip: a 1-device mesh over the real TPU
+# runs the shard_map-wrapped production kernels through the public APIs
+# (multi-shard ppermute semantics are proven on the virtual CPU mesh;
+# this proves the compiled single-shard program)
+import jax  # noqa: E402
+from triple_accel_tpu.levenshtein import (  # noqa: E402
+    levenshtein_search_sharded)
+from triple_accel_tpu.parallel import make_mesh  # noqa: E402
+
+mesh1 = make_mesh(jax.devices()[:1])
+ma, mb = [], []
+for _ in range(64):
+    ln = int(rng.integers(1, 200))
+    a = rng.integers(65, 72, ln).astype(np.uint8)
+    b = a.copy()
+    b[rng.integers(0, ln, min(4, ln))] = 65
+    ma.append(a); mb.append(b)
+got_mesh = levenshtein_k_batch(ma, mb, 16, mesh=mesh1)
+got_plain = levenshtein_k_batch(ma, mb, 16)
+if not np.array_equal(got_mesh, got_plain):
+    bad += 1; print(f"MESH DIST: {list(got_mesh[:6])} vs {list(got_plain[:6])}")
+m2 = 20
+needle2 = rng.integers(65, 70, m2).astype(np.uint8)
+hay2 = rng.integers(65, 70, 3000).astype(np.uint8)
+hay2[700:700+m2] = needle2
+for st in (SearchType.All, SearchType.Best):
+    got_s = levenshtein_search_sharded(needle2, hay2, 3, mesh1, st)
+    exp_s = levenshtein_search_simd_with_opts(needle2, hay2, 3, st)
+    if got_s != exp_s:
+        bad += 1; print(f"MESH SEARCH {st}: {got_s[:3]} vs {exp_s[:3]}")
+print("mesh wrapper fuzz done")
 print(f"FINAL FUZZ TOTAL: {bad} mismatches")
 sys.exit(1 if bad else 0)

@@ -8,7 +8,10 @@ import numpy as np
 import pytest
 
 from triple_accel_tpu import EditCosts, LEVENSHTEIN_COSTS, RDAMERAU_COSTS
-from triple_accel_tpu.oracle import levenshtein_naive_k_with_opts
+from triple_accel_tpu.oracle import (
+    levenshtein_naive_k_with_opts,
+    levenshtein_naive_with_opts,
+)
 from triple_accel_tpu.ops.pallas.lev_band import (
     band_distance_pallas,
     prepare_pallas_inputs,
@@ -348,3 +351,80 @@ def test_batched_traceback_scan_path_matches_oracle():
                         assert traces[i] == ref[1], (i, k, costs)
     finally:
         del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+
+
+@pytest.mark.parametrize("costs", [
+    LEVENSHTEIN_COSTS, RDAMERAU_COSTS,
+    EditCosts(2, 1, 2, None), EditCosts(3, 2, 1, 2),
+])
+def test_flat_distance_matches_oracle(costs):
+    """The full-matrix flat DISTANCE kernel (the wide-band replacement for
+    the lax.scan cliff, VERDICT r3 #5): exact for every cost model at
+    mixed lengths incl. empties, across both chunk axes (small rj/ti force
+    multi-chunk edge carries)."""
+    from triple_accel_tpu.ops.pallas.search_flat import flat_distance
+
+    ct = (costs.mismatch_cost, costs.gap_cost, costs.start_gap_cost,
+          costs.transpose_cost_or_zero, costs.allow_transpose)
+    rng = np.random.default_rng(hash(ct) % 2**31)
+    rj, ti = 64, 16
+    C, m_max, n_max = 128, 40, 90
+    a_rows = np.zeros((C, m_max), np.uint8)
+    b_rows = np.zeros((C, n_max), np.uint8)
+    m = np.zeros(C, np.int32)
+    n = np.zeros(C, np.int32)
+    pairs = []
+    for i in range(C):
+        la = int(rng.integers(0, m_max + 1))
+        lb = int(rng.integers(0, n_max + 1))
+        a = rng.integers(65, 70, la).astype(np.uint8)
+        b = rng.integers(65, 70, lb).astype(np.uint8)
+        a_rows[i, :la] = a
+        b_rows[i, :lb] = b
+        m[i], n[i] = la, lb
+        pairs.append((a, b))
+    d = np.asarray(flat_distance(
+        b_rows, a_rows, m, n,
+        n_jchunks=-(-n_max // rj), n_ichunks=-(-m_max // ti),
+        costs_t=ct, interpret=True, rj=rj, ti=ti,
+    ))
+    for i, (a, b) in enumerate(pairs):
+        ref = levenshtein_naive_with_opts(a, b, False, costs)[0]
+        assert int(d[i]) == ref, (i, len(a), len(b), costs)
+
+
+def test_flat_distance_dispatch_wide_band():
+    """When band_vmem_plan returns None for non-unit costs, the dispatcher
+    must route through flat_distance (not the scan cliff) and stay exact."""
+    import importlib
+    import os
+    from unittest import mock
+
+    lb_mod = importlib.import_module(
+        "triple_accel_tpu.ops.pallas.lev_band")
+    from triple_accel_tpu.dispatch import dispatch_history
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+
+    rng = np.random.default_rng(12)
+    costs = EditCosts(2, 1, 2, None)
+    a_list, b_list = [], []
+    for _ in range(8):
+        a_list.append(rng.integers(65, 70,
+                                   int(rng.integers(0, 100))).astype(np.uint8))
+        b_list.append(rng.integers(65, 70,
+                                   int(rng.integers(0, 130))).astype(np.uint8))
+    with mock.patch.object(lb_mod, "band_vmem_plan",
+                           lambda max_m, unit_k: None):
+        dispatch_history(clear=True)
+        os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+        try:
+            got = levenshtein_k_batch(a_list, b_list, 150, costs)
+        finally:
+            del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+        paths = [d.path for _, d in dispatch_history()]
+    assert "flat_distance" in paths, paths
+    for i in range(8):
+        ref = levenshtein_naive_k_with_opts(a_list[i], b_list[i], 150,
+                                            False, costs)
+        exp = -1 if ref is None else ref[0]
+        assert int(got[i]) == exp, i

@@ -116,3 +116,200 @@ def test_assert_mesh_consistent_single_process():
 
     assert_mesh_consistent(make_mesh(jax.devices()[:2]))
     assert_mesh_consistent(make_mesh(jax.devices()))
+
+
+# ---------------------------------------------------------------------------
+# Native (Pallas/Myers) engines on the mesh — the production kernels must
+# run per device and match the unsharded kernels / oracle exactly.
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_myers_distance_matches_unsharded():
+    """DP over the mesh with the bit-parallel distance kernel: sharding the
+    lane axis must be bit-identical to the single-device kernel (and both
+    exact vs the oracle)."""
+    from triple_accel_tpu.ops.pallas.lev_myers import (
+        myers_distance_pallas,
+        prepare_myers_inputs,
+    )
+    from triple_accel_tpu.parallel import sharded_myers_distance
+
+    rng = np.random.default_rng(41)
+    D, k, max_m = 4, 32, 32
+    mesh = make_mesh(jax.devices()[:D])
+    B = 4096  # G=4 at k=32 -> BG=1024 -> 2 grid steps per device
+    a_list, b_list = [], []
+    for _ in range(B):
+        la = int(rng.integers(1, max_m))
+        x = rng.integers(0, 256, la).astype(np.uint8)
+        y = x.copy()
+        if la > 3:
+            y[rng.integers(0, la, min(3, k))] = 1
+        a_list.append(x)
+        b_list.append(y)
+    *args, decode = prepare_myers_inputs(a_list, b_list, k, max_m,
+                                         n_shards=D)
+    d_sh = decode(np.asarray(sharded_myers_distance(
+        mesh, *args, k=k, max_m=max_m, interpret=True
+    )))
+    d_un = decode(np.asarray(myers_distance_pallas(
+        *args, k=k, max_m=max_m, interpret=True
+    )))
+    assert np.array_equal(d_sh, d_un)
+    for p in rng.integers(0, B, 16):
+        ref = levenshtein_naive_k_with_opts(a_list[p], b_list[p], k)
+        if ref is not None:
+            assert int(d_sh[p]) == ref[0]
+        else:
+            assert int(d_sh[p]) > k
+
+
+def test_levenshtein_k_batch_mesh_param():
+    """The public batched API accepting a mesh: identical results to the
+    meshless call for unit costs (Myers kernel path) AND a non-unit cost
+    model (sharded scan fallback)."""
+    from triple_accel_tpu import EditCosts
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+
+    rng = np.random.default_rng(42)
+    mesh = make_mesh(jax.devices()[:4])
+    B, k = 600, 12  # not divisible by 4: exercises the pad path
+    a_list, b_list = [], []
+    for _ in range(B):
+        ln = int(rng.integers(0, 60))
+        a = rng.integers(33, 127, ln).astype(np.uint8)
+        b = a.copy()
+        if ln > 2:
+            b[rng.integers(0, ln, 4)] = 33
+        a_list.append(a)
+        b_list.append(b)
+    for costs in (LEVENSHTEIN_COSTS, EditCosts(2, 1, 2, None)):
+        got = levenshtein_k_batch(a_list, b_list, k, costs, mesh=mesh)
+        ref = levenshtein_k_batch(a_list, b_list, k, costs)
+        assert np.array_equal(got, ref), costs
+
+
+@pytest.mark.parametrize("m,k,damerau", [(24, 5, False), (24, 5, True),
+                                         (4, 4, False)])
+def test_sharded_myers_search_matches_unsharded(m, k, damerau):
+    """SP sharded-haystack search on the production subgroup kernel: the
+    (end position, distance) hit set must equal the unsharded kernel's,
+    including matches straddling shard boundaries and the end-0 candidate
+    (m <= k case)."""
+    from triple_accel_tpu.ops.pallas.search_myers import (
+        collect_hits,
+        myers_search_block_mins_from_hay,
+        myers_search_plan,
+        prepare_myers_needles,
+        seg_count,
+    )
+    from triple_accel_tpu.parallel import (
+        collect_sharded_hits,
+        sharded_myers_search_mins,
+    )
+
+    rng = np.random.default_rng(7 * m + k)
+    D, own_len, num_local, halo = 4, 128, 2, 128
+    S = own_len * num_local
+    n = D * S - 37  # partial last shard
+    needle = rng.integers(33, 127, m).astype(np.uint8)
+    hay = rng.integers(33, 127, n).astype(np.uint8)
+    # plant matches, several straddling shard boundaries
+    for pos in [0, 5, S - m // 2, S - 1, 2 * S - m, 3 * S - 2, n - m]:
+        if 0 <= pos <= n - m:
+            hay[pos : pos + m] = needle
+            if pos % 2 and m > 2:
+                hay[pos + m // 2] = 33
+
+    nchar = prepare_myers_needles([needle], m)
+    shards = np.zeros((D, S), dtype=np.uint8)
+    shards.reshape(-1)[:n] = hay
+    dist_d, mins_d = sharded_myers_search_mins(
+        mesh=make_mesh(jax.devices()[:D]), shards=shards, nchar=nchar,
+        needle_len=m, halo=halo, own_len=own_len, damerau=damerau,
+        interpret=True,
+    )
+    gpos_s, d_s = collect_sharded_hits(
+        dist_d, mins_d, D=D, k=k, needle_len=m, halo=halo,
+        own_len=own_len, shard_size=S, n_total=n,
+    )
+
+    # unsharded reference: same kernel, whole haystack
+    C = seg_count(n, own_len)
+    G = myers_search_plan(m)[2]
+    seg_len = halo + own_len
+    OUT = -(-(seg_len + 1) // 8) * 8
+    dist_u, mins_u = myers_search_block_mins_from_hay(
+        hay, nchar, needle_len=m, halo=halo, own_len=own_len, num=C,
+        damerau=damerau, interpret=True,
+    )
+    mins_h = np.asarray(mins_u)
+    rb, cols = np.nonzero(mins_h <= k)
+    assert rb.size
+    import jax.numpy as jnp
+    from triple_accel_tpu.ops.pallas.search_myers import myers_gather_blocks
+
+    pad_n = 1 << max(3, int(np.ceil(np.log2(rb.size))))
+    rb_p = np.empty(pad_n, np.int32)
+    cols_p = np.empty(pad_n, np.int32)
+    rb_p[: rb.size], rb_p[rb.size:] = rb, rb[-1]
+    cols_p[: cols.size], cols_p[cols.size:] = cols, cols[-1]
+    blocks = np.asarray(myers_gather_blocks(dist_u, rb_p, cols_p))
+    _, gpos_u, d_u = collect_hits(
+        blocks, rb, cols, k, OUT=OUT, G=G, C=C, halo=halo,
+        own_len=own_len, limit_pos=n,
+    )
+    order = np.argsort(gpos_s)
+    assert np.array_equal(gpos_s[order], gpos_u)
+    assert np.array_equal(d_s[order], d_u)
+
+
+@pytest.mark.parametrize("costs", [LEVENSHTEIN_COSTS, RDAMERAU_COSTS])
+def test_levenshtein_search_sharded_matches_single_device(costs):
+    """Public sharded search == single-device search == oracle, in both
+    search modes, including a Best-mode tie across a shard boundary."""
+    from triple_accel_tpu.levenshtein import (
+        levenshtein_search_sharded,
+        levenshtein_search_simd_with_opts,
+    )
+
+    rng = np.random.default_rng(99)
+    mesh = make_mesh(jax.devices()[:4])
+    m, k = 16, 3
+    needle = rng.integers(33, 127, m).astype(np.uint8)
+    n = 4 * 700 + 13
+    hay = rng.integers(33, 127, n).astype(np.uint8)
+    # exact copies in shards 0 and 2 -> a Best-mode cost tie whose
+    # candidates live on different devices; plus one boundary straddler
+    S_approx = -(-n // 4)
+    for pos in [10, S_approx - m // 2, 2 * S_approx + 50]:
+        hay[pos : pos + m] = needle
+    for st in (SearchType.All, SearchType.Best):
+        got = levenshtein_search_sharded(needle, hay, k, mesh, st, costs)
+        ref = levenshtein_search_simd_with_opts(needle, hay, k, st, costs)
+        assert got == ref, st
+        ora = levenshtein_search_naive_with_opts(
+            needle, hay, k, st, costs, False
+        )
+        assert got == ora, st
+
+
+def test_levenshtein_search_sharded_general_costs():
+    """Non-unit costs route through the sharded scan wavefront and still
+    match the oracle exactly."""
+    from triple_accel_tpu import EditCosts
+    from triple_accel_tpu.levenshtein import levenshtein_search_sharded
+
+    rng = np.random.default_rng(3)
+    mesh = make_mesh(jax.devices()[:4])
+    costs = EditCosts(2, 1, 2, None)
+    m, k = 10, 6
+    needle = rng.integers(33, 127, m).astype(np.uint8)
+    hay = rng.integers(33, 127, 1200).astype(np.uint8)
+    hay[300 - m // 2 : 300 + m - m // 2] = needle  # straddles shard 0/1
+    for st in (SearchType.All, SearchType.Best):
+        got = levenshtein_search_sharded(needle, hay, k, mesh, st, costs)
+        ora = levenshtein_search_naive_with_opts(
+            needle, hay, k, st, costs, False
+        )
+        assert got == ora, st

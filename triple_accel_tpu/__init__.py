@@ -51,6 +51,7 @@ from .levenshtein import (
     levenshtein_search,
     PackedHaystack,
     levenshtein_search_many,
+    levenshtein_search_sharded,
     rdamerau,
     rdamerau_exp,
 )
@@ -87,6 +88,7 @@ __all__ = [
     "levenshtein_search",
     "PackedHaystack",
     "levenshtein_search_many",
+    "levenshtein_search_sharded",
     "rdamerau",
     "rdamerau_exp",
 ]

@@ -69,6 +69,7 @@ __all__ = [
     "levenshtein_search_naive",
     "levenshtein_search_naive_with_opts",
     "levenshtein_search_simd",
+    "levenshtein_search_sharded",
     "levenshtein_search_many",
     "PackedHaystack",
     "levenshtein_search_simd_with_opts",
@@ -363,12 +364,86 @@ def _use_pallas() -> bool:
         return False
 
 
+def _k_batch_on_mesh(
+    mesh, swapped_a, swapped_b, feasible, max_ks,
+    m_len, n_len, costs, uk_dev, max_m, use_pallas,
+):
+    """Mesh execution of one levenshtein_k_batch bucket (DP over pairs).
+
+    Unit costs within the bit-parallel word budget run the PRODUCTION
+    Myers Pallas kernel per device (`parallel.sharded_myers_distance`);
+    everything else runs the sharded scan wavefront — exact for every
+    cost model, so `mesh=` never changes results, only placement.
+    """
+    from .ops.pallas.lev_myers import myers_plan
+    from .parallel.sharded import (
+        sharded_distance_step,
+        sharded_myers_distance,
+    )
+
+    B = len(swapped_a)
+    D = mesh.devices.size
+    k_stat = round_up_pow2(int(max_ks.max(initial=0)), 4)
+    msplan = myers_plan(k_stat)
+    myers_fits = (
+        msplan is not None
+        and msplan[2] * (2 * max_m + msplan[3]) <= 12288
+    )
+    use_myers = (
+        use_pallas
+        and forced_path() != "pallas_band"
+        and _costs_tuple(costs) == (1, 1, 0, 0, False)
+        and myers_fits
+    )
+    DispatchDecision(
+        path="myers_sharded" if use_myers else "scan_sharded",
+        cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
+        unit_k=uk_dev,
+        max_k=int(max_ks.max(initial=0)),
+        padded_m=max_m,
+        padded_n=B,
+    ).log("levenshtein_k_batch")
+    if use_myers:
+        from .ops.pallas.lev_myers import prepare_myers_inputs
+
+        *margs, decode = prepare_myers_inputs(
+            swapped_a, swapped_b, k_stat, max_m,
+            ks=np.where(feasible, max_ks, k_stat), n_shards=D,
+        )
+        # interpret follows the MESH devices (a CPU mesh under the axon
+        # tunnel still has default_backend() == "tpu")
+        distm = sharded_myers_distance(
+            mesh, *margs, k=k_stat, max_m=max_m,
+            interpret=mesh.devices.flat[0].platform != "tpu",
+        )
+        out = decode(np.asarray(distm)).astype(np.int64)
+        return np.where(feasible & (out <= max_ks), out, -1)
+    from .ops.band_scan import prepare_band_inputs
+
+    # pad the batch to a multiple of the mesh so the batch axis shards
+    # evenly (padding pairs are empty and masked out below)
+    pad = (-B) % D
+    _empty = np.empty(0, dtype=np.uint8)
+    a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(
+        list(swapped_a) + [_empty] * pad,
+        list(swapped_b) + [_empty] * pad,
+        uk_dev, max_m,
+    )
+    dist = sharded_distance_step(
+        mesh, a_pad, b_pad, m_arr, n_arr,
+        unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
+    )
+    out = np.asarray(dist)[:B].astype(np.int64)
+    return np.where(feasible & (out <= max_ks), out, -1)
+
+
 def levenshtein_k_batch(
     a_batch: Sequence[BytesLike],
     b_batch: Sequence[BytesLike],
     k: int,
     costs: EditCosts = LEVENSHTEIN_COSTS,
     trace_on: bool = False,
+    mesh=None,
 ):
     """Batched banded distance: the TPU-native unit of work.
 
@@ -384,6 +459,15 @@ def levenshtein_k_batch(
     1197-1281): the wavefront emits argmin codes and a second device scan
     walks all B tracebacks simultaneously (ops/band_scan.band_trace_batch)
     — one XLA program, codes never fetched, only the compact edit streams.
+
+    `mesh` (a 1-D `jax.sharding.Mesh`, see `parallel.make_mesh`) runs the
+    batch data-parallel across devices: the unit-cost Myers fast path
+    executes the PRODUCTION Pallas kernel per device via `shard_map`
+    (`parallel.sharded_myers_distance` — pairs are independent, zero
+    collectives); every other engine falls to the sharded scan wavefront
+    (exact for all cost models; the general-cost band kernels have no
+    mesh path yet).  Traced batches ignore `mesh` — the traceback walk
+    is host-decode dominated.
     """
     from .ops.band_scan import band_scan_distance, prepare_band_inputs
 
@@ -471,7 +555,7 @@ def levenshtein_k_batch(
                 sub = levenshtein_k_batch(
                     [a_list[p] for p in members],
                     [b_list[p] for p in members],
-                    k, costs, trace_on,
+                    k, costs, trace_on, mesh=mesh,
                 )
                 if trace_on:
                     sub, sub_traces = sub
@@ -483,6 +567,12 @@ def levenshtein_k_batch(
     uk_dev = round_up_pow2(unit_k, 4)
     max_m = round_up_pow2(max((len(a) for a in swapped_a), default=1), 8)
     use_pallas = _use_pallas()
+
+    if mesh is not None and not trace_on:
+        return _k_batch_on_mesh(
+            mesh, swapped_a, swapped_b, feasible, max_ks,
+            m_len, n_len, costs, uk_dev, max_m, use_pallas,
+        )
 
     if trace_on:
 
@@ -686,7 +776,41 @@ def levenshtein_k_batch(
         return np.where(feasible & (out <= max_ks), out, -1)
 
     if use_pallas and band_plan is None:
-        use_pallas = False
+        # general costs past the band kernels' VMEM plans (unit_k ~ 1780+
+        # at long lengths): the cost-only FULL-MATRIX flat distance kernel
+        # — b positions on sublanes in column chunks chained through edge
+        # arrays, per-lane a rows streamed — replaces the former lax.scan
+        # cliff (VERDICT r3 #5; reference jewel.rs:833-1207 handles this
+        # with its unbounded Vec-backed band).  The full matrix subsumes
+        # every band, so this is exact for any k / any cost model.
+        import jax
+
+        from .ops.pallas.search_flat import (
+            flat_distance,
+            prepare_flat_distance_inputs,
+        )
+
+        DispatchDecision(
+            path="flat_distance",
+            cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
+            unit_k=uk_dev,
+            max_k=int(max_ks.max(initial=0)),
+            padded_m=max_m,
+            padded_n=B,
+        ).log("levenshtein_k_batch")
+        b_rows, a_rows, m2, n2, njc, nic = prepare_flat_distance_inputs(
+            swapped_a, swapped_b
+        )
+        dist = np.asarray(
+            flat_distance(
+                b_rows, a_rows, m2, n2,
+                n_jchunks=njc, n_ichunks=nic,
+                costs_t=_costs_tuple(costs),
+                interpret=jax.default_backend() != "tpu",
+            )
+        )
+        out = dist[:B].astype(np.int64)
+        return np.where(feasible & (out <= max_ks), out, -1)
 
     if use_pallas:
         import jax
@@ -953,6 +1077,89 @@ def _resolve_cells(gpos: np.ndarray, span: int, m: int) -> int:
         return 0
     istarts, iends = _merge_hit_windows(gpos, span)
     return int((iends - istarts).sum()) * max(m, 1)
+
+
+def _resolve_hits_flat(
+    needle: np.ndarray,
+    haystack: np.ndarray,
+    gpos: np.ndarray,
+    k: int,
+    costs: EditCosts,
+    span: int,
+    iter_len: int,
+) -> List[Tuple[int, int, int]]:
+    """Candidate resolution for degenerate-dense hit streams, ON DEVICE:
+    the FLAT kernel (which tracks match lengths in its DP,
+    ops/pallas/search_flat.py) reruns ONLY the segments containing hits
+    and 8 bytes per hit come back — work proportional to the hit-bearing
+    region, never a second full-haystack pass, and the C++ replay's
+    host-time cost never applies.  Drop-in for _resolve_hits_batch when
+    `_resolve_cells` exceeds the replay budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.pallas import search_flat as _sf
+    from .ops.pallas.search_flat import (
+        flat_search_gather_selected,
+        prepare_flat_needle,
+    )
+
+    if gpos.size == 0:
+        return []
+    m = len(needle)
+    rj, ti = _sf.RJ, _sf.TI
+    halo = min(-(-span // 256) * 256, iter_len)
+    own_len = min(round_up_pow2(iter_len, 128),
+                  max(4 * rj, round_up_pow2(halo, 128)))
+    gpos = np.asarray(gpos, np.int64)
+    c_of = np.maximum(gpos - 1, 0) // own_len
+    c_sel, col_of = np.unique(c_of, return_inverse=True)
+    # flat layout: row q of segment c holds local position q + 1, local
+    # position t <-> global c*own_len - halo + t
+    rows = (gpos - (c_of * own_len - halo) - 1).astype(np.int32)
+    # pow2-pad hit and segment arrays (bounded recompile churn)
+    ns_p = round_up_pow2(c_sel.size, 8)
+    sel_p = np.empty(ns_p, np.int32)
+    sel_p[: c_sel.size], sel_p[c_sel.size :] = c_sel, c_sel[-1]
+    nh_p = round_up_pow2(gpos.size, 8)
+    rows_p = np.zeros(nh_p, np.int32)
+    cols_p = np.zeros(nh_p, np.int32)
+    rows_p[: gpos.size] = rows
+    cols_p[: gpos.size] = col_of
+    nchar, nprev, _nic = prepare_flat_needle(needle, ti)
+    DispatchDecision(
+        path="flat_resolve",
+        cost_bucket=select_cost_bucket(k if k < U32_MAX else U32_MAX),
+        unit_k=halo,
+        max_k=k,
+        padded_m=m,
+        padded_n=halo + own_len,
+    ).log("_resolve_hits_flat")
+    d_h, l_h = flat_search_gather_selected(
+        jnp.asarray(np.ascontiguousarray(haystack[:iter_len])),
+        sel_p, rows_p, cols_p, nchar, nprev,
+        needle_len=m, halo=halo, own_len=own_len,
+        costs_t=_costs_tuple(costs),
+        interpret=jax.default_backend() != "tpu", rj=rj, ti=ti,
+    )
+    dd = np.asarray(d_h)[: gpos.size].astype(np.int64)
+    ll = np.asarray(l_h)[: gpos.size].astype(np.int64)
+    # positions <= halo see segment 0's synthetic zero-pad front halo
+    # (chunk_raw caveat): oracle-replay those few, dropping artifacts
+    keep = np.ones(gpos.size, dtype=bool)
+    fix = np.flatnonzero(gpos <= halo)
+    if fix.size:
+        resolved = _resolve_hits_batch(needle, haystack, gpos[fix], k,
+                                       costs, span)
+        by_end = {p: (d_, l_) for p, d_, l_ in resolved}
+        for fi in fix:
+            got = by_end.get(int(gpos[fi]))
+            if got is None:
+                keep[fi] = False
+            else:
+                dd[fi], ll[fi] = got
+    return list(zip(gpos[keep].tolist(), dd[keep].tolist(),
+                    ll[keep].tolist()))
 
 
 def _correct_chunk0_nul_hits(needle, haystack, gpos, d_arr, halo, k, costs,
@@ -1377,11 +1584,16 @@ def levenshtein_search_simd_with_opts(
         if _resolve_cells(gpos, span, m) <= budget:
             cands = _resolve_hits_batch(needle, haystack, gpos, k, costs,
                                         span)
-            return _postprocess_sparse(cands, k, search_type)
-        # degenerate-dense worst case (All mode over a huge low-complexity
-        # haystack with a long needle): the streaming C++ replay would
-        # exceed the host-time budget, so the general engine below tracks
-        # lengths on device instead, at the cost of a second device pass
+        else:
+            # degenerate-dense worst case (All mode over a huge
+            # low-complexity haystack with a long needle): the streaming
+            # C++ replay would exceed the host-time budget — recover
+            # lengths ON DEVICE with the flat kernel over only the
+            # hit-bearing segments.  The Myers pass is never discarded
+            # and nothing reruns over the whole haystack.
+            cands = _resolve_hits_flat(needle, haystack, gpos, k, costs,
+                                       span, iter_len)
+        return _postprocess_sparse(cands, k, search_type)
     effective_n = iter_len
     # VMEM-aware segment sizing for the general kernel: ~13 mP-tile
     # scratch rings + double-buffered seg/out blocks must fit the 16MB
@@ -1579,6 +1791,129 @@ class PackedHaystack:
         return hit
 
 
+def levenshtein_search_sharded(
+    needle: BytesLike,
+    haystack: BytesLike,
+    k: int,
+    mesh,
+    search_type: SearchType = SearchType.Best,
+    costs: EditCosts = LEVENSHTEIN_COSTS,
+) -> List[Match]:
+    """Unanchored search of ONE long haystack sharded across a device mesh
+    (the SP/ring strategy, SURVEY.md §2.5) — results are exactly
+    `levenshtein_search_simd_with_opts`'s, only the placement differs.
+
+    Unit-cost / rdamerau needles within the subgroup word budget run the
+    PRODUCTION bit-parallel Myers search kernel on every device: one
+    `lax.ppermute` hands each shard's tail to its right neighbor as the
+    halo, each device windows + transposes + scans its own shard on-chip
+    (`parallel.sharded_myers_search_mins`), and hits assemble host-side
+    under the owner-by-end rule (`parallel.collect_sharded_hits`) before
+    the usual batched oracle replay and Best/overlap postprocess.  Other
+    cost models (and needles past the 1280-char subgroup budget) run the
+    sharded scan wavefront (`parallel.sharded_search_step`), which tracks
+    lengths on device.
+    """
+    from .ops.search_scan import window_span
+    from .ops.pallas.search_myers import (
+        myers_halo_budget,
+        myers_search_plan,
+        prepare_myers_needles,
+        suggest_own_len,
+    )
+    from .parallel.sharded import (
+        assemble_sharded_search,
+        collect_sharded_hits,
+        sharded_myers_search_mins,
+        sharded_search_step,
+    )
+
+    needle = to_bytes_array(needle)
+    haystack = to_bytes_array(haystack)
+    m, n = len(needle), len(haystack)
+    if m == 0:
+        return _empty_needle_matches(n, k, search_type, costs, False)
+    costs.check_search()
+    D = int(mesh.devices.size)
+    span = min(window_span(m, k, costs.gap_cost, costs.start_gap_cost), n)
+    damerau = _costs_tuple(costs) == (1, 1, 0, 1, True)
+    msplan = myers_search_plan(m)
+    halo = min(-(-span // 256) * 256, n)
+    use_myers = (
+        _use_pallas()
+        and forced_path() != "pallas_band"
+        and (_costs_tuple(costs) == (1, 1, 0, 0, False) or damerau)
+        and msplan is not None
+        and halo <= myers_halo_budget(m)
+        and n > 0
+    )
+    if use_myers:
+        own_len = min(suggest_own_len(m, halo), round_up_pow2(max(n, 1), 128))
+        # equal shards, each a multiple of own_len and >= halo (the
+        # ppermuted tail must fit inside one shard); zero tail padding is
+        # masked by limit_pos in the collect
+        S = max(-(-(-(-n // D)) // own_len) * own_len,
+                -(-halo // own_len) * own_len)
+        hay_pad = np.zeros(D * S, dtype=np.uint8)
+        hay_pad[:n] = haystack
+        shards = hay_pad.reshape(D, S)
+        DispatchDecision(
+            path="myers_search_sharded",
+            cost_bucket="u8",
+            unit_k=halo,
+            max_k=k,
+            padded_m=m,
+            padded_n=S,
+        ).log("levenshtein_search_sharded")
+        nchar = prepare_myers_needles([needle], m)
+        dist_d, mins_d = sharded_myers_search_mins(
+            mesh, shards, nchar, needle_len=m, halo=halo, own_len=own_len,
+            damerau=damerau,
+            interpret=mesh.devices.flat[0].platform != "tpu",
+        )
+        gpos, d_arr = collect_sharded_hits(
+            dist_d, mins_d, D=D, k=k, needle_len=m, halo=halo,
+            own_len=own_len, shard_size=S, n_total=n,
+        )
+        gpos, d_arr = _correct_chunk0_nul_hits(
+            needle, haystack, gpos, d_arr, halo, k, costs, span
+        )
+        if search_type == SearchType.Best and gpos.size:
+            kmin = int(d_arr.min())
+            gpos = gpos[d_arr == kmin]
+        cands = _resolve_hits_batch(needle, haystack, gpos, k, costs, span)
+        return _postprocess_sparse(cands, k, search_type)
+    # general costs / oversized needles: sharded scan wavefront
+    S = -(-n // D)
+    if min(span, n) > S:
+        raise ValueError(
+            f"window span {span} exceeds the {S}-char shards of a "
+            f"{n}-char haystack over {D} devices; use fewer devices"
+        )
+    DispatchDecision(
+        path="scan_search_sharded",
+        cost_bucket=select_cost_bucket(k if k < U32_MAX else U32_MAX),
+        unit_k=min(span, n),
+        max_k=k,
+        padded_m=m,
+        padded_n=S,
+    ).log("levenshtein_search_sharded")
+    shards = np.full((D, S), -1, dtype=np.int32)
+    shard_n = np.zeros(D, dtype=np.int32)
+    for d in range(D):
+        seg = haystack[d * S : (d + 1) * S]
+        shards[d, : len(seg)] = seg
+        shard_n[d] = len(seg)
+    dist, length = sharded_search_step(
+        mesh, needle.astype(np.int32), shards, shard_n,
+        needle_len=m, halo=min(span, n, S), costs_t=_costs_tuple(costs),
+    )
+    gd, gl = assemble_sharded_search(
+        np.asarray(dist), np.asarray(length), shard_n, S
+    )
+    return postprocess_matches(gd, gl, k, search_type)
+
+
 def levenshtein_search_many(
     needles: Sequence[BytesLike],
     haystack,
@@ -1742,14 +2077,14 @@ def levenshtein_search_many(
                 at_min = d_arr == d_arr.min()
                 gpos, d_arr = gpos[at_min], d_arr[at_min]
             if _resolve_cells(gpos, span, m) > budget:
-                # degenerate-dense worst case: re-dispatch through the
-                # general engine, which tracks lengths on device
-                results[i] = levenshtein_search_simd_with_opts(
-                    needles[i], haystack, k, search_type, costs, False
-                )
-                continue
-            cands = _resolve_hits_batch(needles[i], haystack, gpos, k,
-                                        costs, span)
+                # degenerate-dense worst case: flat-kernel length
+                # recovery over only the hit-bearing segments (the Myers
+                # pass is kept; no second full-haystack pass)
+                cands = _resolve_hits_flat(needles[i], haystack, gpos, k,
+                                           costs, span, n)
+            else:
+                cands = _resolve_hits_batch(needles[i], haystack, gpos, k,
+                                            costs, span)
             results[i] = _postprocess_sparse(cands, k, search_type)
     return results  # type: ignore[return-value]
 

@@ -52,6 +52,8 @@ __all__ = [
     "flat_search",
     "flat_search_mins",
     "flat_search_mins_from_hay",
+    "flat_search_gather_selected",
+    "flat_distance",
     "prepare_flat_needle",
     "RJ",
     "TI",
@@ -442,3 +444,335 @@ def flat_search_mins_from_hay(
         n_jchunks=n_jchunks, n_ichunks=n_ichunks, costs_t=costs_t,
         interpret=interpret, rj=rj, ti=ti,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("needle_len", "halo", "own_len", "costs_t",
+                     "interpret", "rj", "ti"),
+)
+def flat_search_gather_selected(
+    hay,  # [n] uint8 raw haystack
+    sel,  # [n_sel] int32 SELECTED segment indices (pad-repeat the last)
+    rows,  # [n_hits] int32 flat-layout row per hit (local t - 1)
+    cols,  # [n_hits] int32 column per hit (index into sel)
+    nchar, nprev,
+    *,
+    needle_len: int,
+    halo: int,
+    own_len: int,
+    costs_t,
+    interpret: bool = False,
+    rj: int = RJ,
+    ti: int = TI,
+):
+    """Run the flat kernel over ONLY the selected haystack segments and
+    gather the per-hit (distance, length) cells — the device-side length
+    recovery behind degenerate-dense hit streams (levenshtein.py
+    `_resolve_hits_flat`): instead of a second full-haystack pass, work is
+    proportional to the segments that actually contain hits, and only
+    2 x 4 bytes per hit leave the device.
+
+    Segment c covers global chars [c*own_len - halo, c*own_len + own_len)
+    (chunk_raw's convention); windows gather on device from the one
+    zero-padded haystack upload.  Returns (d, l) int32 [n_hits].
+    """
+    n = hay.shape[0]
+    n_sel = sel.shape[0]
+    seg_len = halo + own_len
+    padded = jnp.zeros((halo + n + seg_len,), jnp.uint8)
+    padded = lax.dynamic_update_slice(padded, hay.astype(jnp.uint8), (halo,))
+    win = padded[
+        sel[:, None].astype(jnp.int32) * own_len
+        + jnp.arange(seg_len, dtype=jnp.int32)[None, :]
+    ]
+    C = max(_round_up(max(n_sel, 1), LANES), 2 * LANES)
+    n_jchunks = max(-(-seg_len // rj), 1)
+    core = jnp.pad(win, ((0, C - n_sel), (0, 0))).T  # [seg_len, C]
+    seg_lead = jnp.pad(core, ((2, n_jchunks * rj + 8 - seg_len), (0, 0)))
+    n_ichunks = nchar.shape[0] // ti
+    d, l = flat_search(
+        seg_lead, nchar, nprev, needle_len=needle_len,
+        n_jchunks=n_jchunks, n_ichunks=n_ichunks, costs_t=costs_t,
+        interpret=interpret, rj=rj, ti=ti,
+    )
+    return d[rows, cols], l[rows, cols]
+
+
+# ---------------------------------------------------------------------------
+# Flat DISTANCE kernel: cost-only full-matrix DP, one PAIR per lane.
+# Kills the general-cost wide-band scan cliff (reference jewel.rs:833-1207,
+# the unbounded AvxNx8x32 band): when the banded kernel's [W, 128] state
+# tiles outgrow VMEM (band_vmem_plan None) and the costs are not
+# unit/rdamerau (no bit-parallel engine), the batch runs here instead of
+# the lax.scan wavefront.  Same tiling as the search kernel — b positions
+# on sublanes in RJ-column chunks chained through edge arrays, a rows
+# streamed TI at a time — but with the ANCHORED row-0 boundary
+# D[0][j] = j*gc + sgc, per-lane needle chars (each lane is one pair),
+# and no length tracking (distances don't need the tie-break machinery,
+# which is half the search kernel's ops).
+# ---------------------------------------------------------------------------
+
+
+def _make_flat_dist_kernel(costs_t, rj: int, ti: int):
+    mc, gc, sgc, tc, allow_transpose = costs_t
+    inf = int(INF)
+    RJ, TI = rj, ti
+
+    def kernel(seg_ref, nchar_ref, nprev_ref, j0_ref, mrow_ref,
+               einD_ref, einD2_ref, einNG_ref,
+               eoutD_ref, eoutD2_ref, eoutNG_ref, outd_ref,
+               dprev_s, dprev2_s, vg_s, cross_s, res_s):
+        # seg_ref: [RJ+8, LANES] b chars (2-row lead), lane = pair
+        # nchar/nprev: [TI, LANES] PER-LANE a[i-1] / a[i-2] rows
+        # j0_ref: [1, LANES] this launch's global column offset (cj*RJ)
+        # mrow_ref: [1, LANES] per-lane len(a): row m latches the result
+        # ein/eout: [TI, LANES] edge blocks (D, D at col-2, open chain)
+        # outd: [RJ, LANES] D[m_lane][j] rows (valid at each lane's m)
+        ci = pl.program_id(1)
+        jrow = lax.broadcasted_iota(jnp.int32, (RJ, LANES), 0)
+        inf_t = jnp.full((RJ, LANES), inf, jnp.int32)
+        inf_r = jnp.full((1, LANES), inf, jnp.int32)
+        zero_r = jnp.zeros((1, LANES), jnp.int32)
+        hj1 = seg_ref[2 : RJ + 2, :]
+        hj2 = seg_ref[1 : RJ + 1, :]
+        j0 = j0_ref[0:1, :]
+        m_row = mrow_ref[0:1, :]
+
+        def sat(x):
+            return jnp.minimum(x, inf)
+
+        @pl.when(ci == 0)
+        def _init():
+            # anchored row 0: D[0][j] = j*gc + sgc (j = j0 + jrow + 1 >= 1)
+            dprev_s[...] = sat((j0 + jrow + 1) * gc + sgc)
+            dprev2_s[...] = inf_t
+            vg_s[...] = inf_t
+            # cross rows: row 0 / row -1 edges at columns j0 and j0 - 1
+            e1D = jnp.where(j0 > 0, sat(j0 * gc + sgc), zero_r)
+            e1D2 = jnp.where(
+                j0 > 1, sat((j0 - 1) * gc + sgc),
+                jnp.where(j0 == 1, zero_r, inf_r),
+            )
+            cross_s[...] = jnp.concatenate(
+                [e1D, e1D2, inf_r, inf_r, inf_r, inf_r, inf_r, inf_r],
+                axis=0,
+            )
+
+        def shift1(x, fill_row):
+            rolled = pltpu.roll(x, shift=1, axis=0)
+            return jnp.where(jrow == 0, fill_row, rolled)
+
+        def step(r, carry):
+            dprev, dprev2, vg, res, e1D, e1D2, e2D, e2D2 = carry
+            nch = nchar_ref[pl.ds(r, 1), :]
+            eD = einD_ref[pl.ds(r, 1), :]
+            eD2 = einD2_ref[pl.ds(r, 1), :]
+            eNG = einNG_ref[pl.ds(r, 1), :]
+
+            # substitution (i-1, j-1); vertical affine chain (consume a)
+            sub = sat(shift1(dprev, e1D) + jnp.where(hj1 == nch, 0, mc))
+            vg2 = jnp.minimum(sat(dprev + (sgc + gc)), sat(vg + gc))
+
+            if allow_transpose:
+                npv = nprev_ref[pl.ds(r, 1), :]
+                d2s = shift1(shift1(dprev2, e2D), e2D2)
+                tcond = (hj2 == nch) & (hj1 == npv)
+                trans = jnp.where(tcond, sat(d2s + tc), inf)
+                nonh = jnp.minimum(jnp.minimum(vg2, sub), trans)
+            else:
+                nonh = jnp.minimum(vg2, sub)
+
+            # horizontal affine chain: exclusive prefix min of the
+            # slope-adjusted origins, then the cross-chunk seed
+            g = sat(nonh - jrow * gc)
+            off = 1
+            while off < RJ:
+                gs = pltpu.roll(g, shift=off, axis=0)
+                g = jnp.minimum(g, jnp.where(jrow >= off, gs, inf))
+                off <<= 1
+            g = shift1(g, inf_r)
+            chainc = sat(g + sgc + jrow * gc)
+            seed = jnp.minimum(eNG, sat(eD + sgc))
+            chainc = jnp.minimum(chainc, sat(seed + (jrow + 1) * gc))
+
+            d = jnp.minimum(chainc, nonh)
+
+            last = RJ - 1
+            eoutD_ref[pl.ds(r, 1), :] = d[last : last + 1, :]
+            eoutD2_ref[pl.ds(r, 1), :] = d[last - 1 : last, :]
+            eoutNG_ref[pl.ds(r, 1), :] = chainc[last : last + 1, :]
+
+            i_glob = ci * TI + r + 1
+            res = jnp.where(m_row == i_glob, d, res)
+            # promote edges: e1 <- this row's, e2 <- old e1
+            return (d, dprev, vg2, res, eD, eD2, e1D, e1D2)
+
+        @pl.when(ci == 0)
+        def _res0():
+            # m = 0 lanes: D[0][j] is the boundary row itself
+            res_s[...] = jnp.where(
+                m_row == 0, sat((j0 + jrow + 1) * gc + sgc), inf_t
+            )
+
+        cross = cross_s[...]
+        carry0 = (
+            dprev_s[...], dprev2_s[...], vg_s[...], res_s[...],
+            cross[0:1, :], cross[1:2, :], cross[2:3, :], cross[3:4, :],
+        )
+        out = lax.fori_loop(0, TI, step, carry0)
+        dprev_s[...] = out[0]
+        dprev2_s[...] = out[1]
+        vg_s[...] = out[2]
+        res_s[...] = out[3]
+        outd_ref[...] = out[3]
+        cross_s[...] = jnp.concatenate(
+            [out[4], out[5], out[6], out[7],
+             inf_r, inf_r, inf_r, inf_r], axis=0,
+        )
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_jchunks", "n_ichunks", "costs_t", "interpret",
+                     "rj", "ti"),
+)
+def flat_distance(
+    b_rows: jnp.ndarray,  # [C, n_max] uint8 row-major b chars, 0 pads
+    a_rows: jnp.ndarray,  # [C, m_max] uint8 row-major a chars, 0 pads
+    m: jnp.ndarray,  # [C] int32 len(a)
+    n: jnp.ndarray,  # [C] int32 len(b)
+    *,
+    n_jchunks: int,
+    n_ichunks: int,
+    costs_t,
+    interpret: bool = False,
+    rj: int = RJ,
+    ti: int = TI,
+):
+    """Full-matrix distance for a [C] pair batch (C a multiple of 128),
+    any cost model, any lengths — the wide-band replacement for the
+    lax.scan wavefront.  Exact: the full matrix subsumes every band.
+    Row-major uint8 arrivals transpose on device (CLAUDE.md transfer
+    invariant).  Returns dist [C] int32 (INF-saturated; callers mask by
+    max_k)."""
+    RJc, TIc = rj, ti
+    C = b_rows.shape[0]
+    assert C % LANES == 0
+    mP = n_ichunks * TIc
+    # device-side transpose into the kernel layouts; -1/-2 sentinels keep
+    # a pad from ever matching a b pad
+    a_t = jnp.where(
+        jnp.arange(a_rows.shape[1], dtype=jnp.int32)[None, :] < m[:, None],
+        a_rows.astype(jnp.int32), -1,
+    ).T
+    nchar = jnp.full((mP + 1, C), -1, jnp.int32)
+    nchar = lax.dynamic_update_slice(
+        nchar, a_t[: min(a_rows.shape[1], mP), :], (1, 0)
+    )
+    nprev = nchar[0:mP, :]
+    nchar = nchar[1 : mP + 1, :]
+    b_t = jnp.where(
+        jnp.arange(b_rows.shape[1], dtype=jnp.int32)[None, :] < n[:, None],
+        b_rows.astype(jnp.int32), -2,
+    ).T
+    seg_lead = jnp.full((2 + n_jchunks * RJc + 8, C), -2, jnp.int32)
+    seg_lead = lax.dynamic_update_slice(seg_lead, b_t, (2, 0))
+    m2 = m.astype(jnp.int32)[None, :]
+
+    kernel = _make_flat_dist_kernel(costs_t, RJc, TIc)
+    grid = (C // LANES, n_ichunks)
+    ti_spec = pl.BlockSpec((TIc, LANES), lambda g, c: (c, g),
+                           memory_space=pltpu.VMEM)
+    rj_spec = pl.BlockSpec((RJc, LANES), lambda g, c: (0, g),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, LANES), lambda g, c: (0, g),
+                            memory_space=pltpu.VMEM)
+    inf = int(INF)
+
+    einD = jnp.minimum(
+        (jnp.arange(mP, dtype=jnp.int32)[:, None] + 1) * costs_t[1]
+        + costs_t[2], inf,
+    ) * jnp.ones((1, C), jnp.int32)
+    einD2 = jnp.full((mP, C), inf, jnp.int32)
+    einNG = jnp.full((mP, C), inf, jnp.int32)
+
+    # lane extraction per chunk (D[m][n] sits at row n - 1 of its chunk):
+    # gathering incrementally avoids materializing the [n_max, C] matrix
+    nz = jnp.maximum(n.astype(jnp.int32) - 1, 0)
+    lanes = jnp.arange(C)
+    picked = jnp.full((C,), inf, jnp.int32)
+    for cj in range(n_jchunks):
+        seg_c = lax.slice(seg_lead, (cj * RJc, 0),
+                          (cj * RJc + RJc + 8, C))
+        j0 = jnp.full((1, C), cj * RJc, jnp.int32)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((RJc + 8, LANES), lambda g, c: (0, g),
+                             memory_space=pltpu.VMEM),
+                ti_spec,  # nchar (per-lane)
+                ti_spec,  # nprev
+                row_spec,  # j0
+                row_spec,  # m
+                ti_spec, ti_spec, ti_spec,
+            ],
+            out_specs=(ti_spec, ti_spec, ti_spec, rj_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((mP, C), jnp.int32),
+                jax.ShapeDtypeStruct((mP, C), jnp.int32),
+                jax.ShapeDtypeStruct((mP, C), jnp.int32),
+                jax.ShapeDtypeStruct((RJc, C), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((RJc, LANES), jnp.int32),  # dprev
+                pltpu.VMEM((RJc, LANES), jnp.int32),  # dprev2
+                pltpu.VMEM((RJc, LANES), jnp.int32),  # vg
+                pltpu.VMEM((8, LANES), jnp.int32),  # cross rows
+                pltpu.VMEM((RJc, LANES), jnp.int32),  # res
+            ],
+            interpret=interpret,
+        )(seg_c, nchar, nprev, j0, m2, einD, einD2, einNG)
+        einD, einD2, einNG, d_out = outs
+        local = jnp.clip(nz - cj * RJc, 0, RJc - 1)
+        hit = (nz >= cj * RJc) & (nz < (cj + 1) * RJc)
+        picked = jnp.where(hit, d_out[local, lanes], picked)
+    # n = 0 lanes take the anchored boundary value m*gc + sgc directly
+    d0 = jnp.minimum(
+        jnp.where(m > 0, m.astype(jnp.int32) * costs_t[1] + costs_t[2], 0),
+        inf,
+    )
+    return jnp.where(n == 0, d0, picked)
+
+
+def prepare_flat_distance_inputs(a_list, b_list):
+    """Row-major uint8 pair buffers for flat_distance (one vectorized
+    mask-scatter per buffer; the device transposes).  Returns
+    (b_rows, a_rows, m, n, n_jchunks, n_ichunks)."""
+    B = len(a_list)
+    arrs_a = [np.asarray(x, dtype=np.uint8) for x in a_list]
+    arrs_b = [np.asarray(x, dtype=np.uint8) for x in b_list]
+    la = np.fromiter((x.size for x in arrs_a), np.int64, B)
+    lb = np.fromiter((x.size for x in arrs_b), np.int64, B)
+    m_max = max(int(la.max(initial=1)), 1)
+    n_max = max(int(lb.max(initial=1)), 1)
+    # >= 2 total grid steps (Mosaic faults on single-step grids)
+    C = max(_round_up(B, LANES), 2 * LANES)
+    a_rows = np.zeros((C, m_max), dtype=np.uint8)
+    b_rows = np.zeros((C, n_max), dtype=np.uint8)
+    m = np.zeros(C, dtype=np.int32)
+    n = np.zeros(C, dtype=np.int32)
+    m[:B] = la
+    n[:B] = lb
+    if B:
+        a_rows[:B][np.arange(m_max)[None, :] < la[:, None]] = (
+            np.concatenate(arrs_a) if la.sum() else np.empty(0, np.uint8)
+        )
+        b_rows[:B][np.arange(n_max)[None, :] < lb[:, None]] = (
+            np.concatenate(arrs_b) if lb.sum() else np.empty(0, np.uint8)
+        )
+    return (b_rows, a_rows, m, n,
+            max(-(-n_max // RJ), 1), max(-(-m_max // TI), 1))

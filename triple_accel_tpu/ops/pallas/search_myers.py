@@ -161,6 +161,12 @@ def suggest_own_len(needle_len: int, halo: int, chains: int = 1) -> int:
     G = plan[2] if plan else 1
     budget = 8 * 1024 * 1024 if chains == 1 else 15 * 1024 * 1024 // chains
     total_rows = budget // (LANES * 4 * 2)
+    if chains > 1:
+        # the chained budget runs close to the 16MB scoped-VMEM ceiling,
+        # so the needle block (needle_rows rows, double-buffered like the
+        # rest) must come out of the row budget too — at the 1280-char
+        # needle cap it is ~1.25MB, more than the remaining headroom
+        total_rows -= needle_rows(needle_len)
     seg_budget = max(total_rows // G // 2 - halo - 16, 128)
     return max(128, (seg_budget // 128) * 128)
 
@@ -612,7 +618,8 @@ def seg_count(n: int, own_len: int) -> int:
     return max(1, -(-n // own_len))
 
 
-def device_windows(hay: jnp.ndarray, *, halo: int, own_len: int, num: int):
+def device_windows(hay: jnp.ndarray, *, halo: int, own_len: int, num: int,
+                   front: jnp.ndarray | None = None):
     """chunk_raw ON DEVICE: [num, halo+own_len] uint8 overlapping windows
     of the zero-padded haystack, built from ceil(seg_len/own_len) shifted
     contiguous reshapes (no gather).  The raw haystack is then the only
@@ -621,10 +628,19 @@ def device_windows(hay: jnp.ndarray, *, halo: int, own_len: int, num: int):
     chip, where they cost microseconds instead of the ~100 MB/s host-side
     numpy packing that used to rival the tunnel upload itself.  Byte-exact
     with chunk_raw (differentially tested), including the front-halo
-    zero-pad caveat documented there."""
+    zero-pad caveat documented there.
+
+    `front` optionally fills the first `halo` positions (the region before
+    `hay`'s own chars) with real data instead of synthetic zeros — the
+    sharded-haystack path passes the left neighbor's ppermuted tail here,
+    so interior shards see the true haystack across their boundary."""
     seg_len = halo + own_len
     total = halo + num * own_len + seg_len
     padded = jnp.zeros((total,), jnp.uint8)
+    if front is not None and halo > 0:
+        padded = lax.dynamic_update_slice(
+            padded, front.astype(jnp.uint8), (0,)
+        )
     padded = lax.dynamic_update_slice(padded, hay.astype(jnp.uint8), (halo,))
     nb = -(-seg_len // own_len)
     blocks = [
@@ -1210,12 +1226,17 @@ def collect_hits(
     t_offset: int = 0,
     lblocks=None,
     chains: int = 1,
+    own_pos0: bool = True,
 ):
     """Vectorized mapping of gathered candidate blocks to owned global hit
     positions — the whole dense regime runs as numpy array math, no
     per-position Python.  Returns (ni, gpos, d) int64 arrays sorted by
     (needle, end position): needle index, global end position, kernel
     distance, for every in-bounds owned position with distance <= k.
+
+    `own_pos0=False` drops segment 0's extra claim on end position 0 —
+    used by the sharded-haystack path, where a shard's position 0 is the
+    previous shard's last owned position (owner-by-end rule).
 
     `t_offset` adapts the row->t mapping: 0 for the raw kernel layouts
     (packed-step, or its G = 1 row-layout degenerate) and 1 for the
@@ -1255,11 +1276,14 @@ def collect_hits(
     t = t + t_offset
     c = g * (G * LANES) + u * LANES + lane
     gpos = c * own_len - halo + t
+    owned = (t > halo) & (t <= halo + own_len)
+    if own_pos0:
+        owned |= (c == 0) & (t == halo)
     ok = (
         (ni < num_needles)
         & (u < G)
         & (c < C)
-        & (((t > halo) & (t <= halo + own_len)) | ((c == 0) & (t == halo)))
+        & owned
         & (gpos >= 0)
         & (gpos <= limit_pos)
     )

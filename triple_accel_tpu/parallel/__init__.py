@@ -15,8 +15,11 @@ from .mesh import (
 )
 from .sharded import (
     assemble_sharded_search,
+    collect_sharded_hits,
     match_count_psum,
     sharded_distance_step,
+    sharded_myers_distance,
+    sharded_myers_search_mins,
     sharded_search_step,
 )
 
@@ -26,7 +29,10 @@ __all__ = [
     "batch_sharding",
     "make_mesh",
     "assemble_sharded_search",
+    "collect_sharded_hits",
     "match_count_psum",
     "sharded_distance_step",
+    "sharded_myers_distance",
+    "sharded_myers_search_mins",
     "sharded_search_step",
 ]
