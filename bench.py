@@ -31,7 +31,8 @@ def main():
 
     from triple_accel_tpu.oracle.levenshtein import levenshtein_naive_k_with_opts
     from triple_accel_tpu.ops.pallas.lev_myers import (
-        myers_device_sentinels,
+        myers_chain_plan,
+        myers_device_pack,
         myers_distance_pallas,
         prepare_myers_inputs,
     )
@@ -54,21 +55,27 @@ def main():
     b_list = [mutate(a, K // 2) for a in a_list]
 
     *args, decode = prepare_myers_inputs(a_list, b_list, K, MAX_M)
+    # interleaved-chain plan (BENCH_CHAINS forces an A/B; 0 = auto; the
+    # chained body's interpret compile runs minutes-slow on CPU, so the
+    # auto plan applies on real hardware only)
+    CHAINS = int(os.environ.get("BENCH_CHAINS", "0")) or (
+        myers_chain_plan(K, MAX_M, args[2].shape[1]) if on_tpu else 1
+    )
     args = [jax.device_put(x) for x in args]
     # one-time device-side transform of the raw uint8 upload layout into
-    # the kernel's int32 sentinel layout.  In production this runs once
-    # per uploaded batch (fused with the kernel dispatch); the pipelined
-    # loop below re-dispatches the kernel on the SAME resident batch, so
-    # timing the transform per rep would charge one-time prep work to
-    # every rep (this silently cost round 3 ~15% of the headline number)
-    a32, b32 = myers_device_sentinels(*args, k=K, max_m=MAX_M)
-    args = [a32, b32, *args[2:]]
+    # the kernel's packed int32 layout (4 chars per lane element).  In
+    # production this runs once per uploaded batch (fused with the kernel
+    # dispatch); the pipelined loop below re-dispatches the kernel on the
+    # SAME resident batch, so timing the transform per rep would charge
+    # one-time prep work to every rep (this silently cost round 3 ~15% of
+    # the headline number)
+    args = list(myers_device_pack(*args, k=K, max_m=MAX_M, chains=CHAINS))
 
     def run():
         # the dispatcher's unit-cost fast path: bit-parallel Myers kernel
         # (ops/pallas/lev_myers.py); levenshtein_k_batch routes here too
         return myers_distance_pallas(
-            *args, k=K, max_m=MAX_M, interpret=not on_tpu
+            *args, k=K, max_m=MAX_M, interpret=not on_tpu, chains=CHAINS
         )
 
     # warmup/compile
@@ -227,6 +234,7 @@ def main():
     print(json.dumps(result))
     print(
         f"# device={jax.devices()[0]} batch={B} reps={reps} "
+        f"chains={CHAINS} "
         f"pipelined={tpu_pairs_per_sec:.0f} pairs/s "
         f"sync={sync_pairs_per_sec:.0f} pairs/s "
         f"cpp_scalar={scalar_pairs_per_sec or 0:.0f} pairs/s "

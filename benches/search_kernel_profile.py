@@ -472,13 +472,22 @@ def main():
         ("no_dot_no_load", nchar_d, {"no_dot": True, "no_load": True}),
     ]:
         dt = run_variant(name, nc, seg_d, NEEDLE_LEN, width, seg_len, **abl)
-        print(f"{name:16s} {dt*1000:7.1f}ms  {N/dt/1e9:5.2f} GB/s")
+        print(f"{name:16s} {dt*1000:7.1f}ms  {N/dt/1e9:5.2f} GB/s", flush=True)
 
     for CH in (2, 4):
-        dt, frac = run_chained(nchar_d, seg_d, NEEDLE_LEN, width, seg_len,
-                               CH)
+        # chains need their OWN (smaller) segment sizing: restacking the
+        # chains=1 segments multiplies the VMEM blocks by CH (CH=4 at the
+        # chainless own_len measured a 29MB scoped-vmem OOM)
+        own_c = suggest_own_len(NEEDLE_LEN, halo, CH)
+        segs_c, _ = chunk_raw(hay, halo, own_c)
+        nchar_c, seg_tc, _ = prepare_myers_search_inputs(needle, segs_c)
+        width_c = seg_tc.shape[0] // myers_search_plan(NEEDLE_LEN)[2]
+        dt, frac = run_chained(
+            jax.device_put(jnp.asarray(nchar_c)),
+            jnp.asarray(seg_tc), NEEDLE_LEN, width_c, halo + own_c, CH,
+        )
         print(f"chains={CH:<10d} {dt*1000:7.1f}ms  "
-              f"{N*frac/dt/1e9:5.2f} GB/s")
+              f"{N*frac/dt/1e9:5.2f} GB/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -281,32 +281,38 @@ hay = rng.integers(65, 70, n).astype(np.uint8)
 mut = needle.copy(); mut[rng.integers(0, m, 2)] = 65
 hay[1000:1000+m] = mut
 hay[2040:2040+m] = needle
-own_len, halo = 256, 256
-C = seg_count(n, own_len)
+halo = 256
 G = myers_search_plan(m)[2]
-seg_len = halo + own_len
-OUT = -(-(seg_len + 1) // 8) * 8
 nchar = prepare_myers_needles([needle], m)
-dist_d, mins_d = myers_search_block_mins_from_hay(
-    hay, nchar, needle_len=m, halo=halo, own_len=own_len, num=C, chains=2)
-mins = np.asarray(mins_d)
-rb, cols = np.nonzero(mins <= k)
-pad_n = 1 << max(3, int(np.ceil(np.log2(max(rb.size, 2)))))
-rb_p = np.empty(pad_n, np.int32); cols_p = np.empty(pad_n, np.int32)
-rb_p[:rb.size], rb_p[rb.size:] = rb, rb[-1] if rb.size else 0
-cols_p[:cols.size], cols_p[cols.size:] = cols, cols[-1] if cols.size else 0
-blocks = np.asarray(myers_gather_blocks(dist_d, rb_p, cols_p))
-_, gpos, d_arr = collect_hits(
-    blocks, rb, cols, k, OUT=OUT, G=G, C=C, halo=halo, own_len=own_len,
-    limit_pos=n, chains=2)
 exp_by_end = {mt.end: mt.k for mt in levenshtein_search_naive_with_opts(
     needle, hay, k, SearchType.All, LEVENSHTEIN_COSTS, False)}
-got_by_end = dict(zip(gpos.tolist(), d_arr.tolist()))
-if got_by_end != exp_by_end:
-    bad += 1
-    miss = set(exp_by_end) ^ set(got_by_end)
-    print(f"CHAINED SEARCH: {len(miss)} end-position mismatches {sorted(miss)[:5]}")
-print("chained (chains=2) search fuzz done")
+from triple_accel_tpu.ops.pallas.search_myers import suggest_own_len  # noqa: E402
+for CH in (2, 4):
+    # the chain-aware owned length, exactly as search_chain_plan sizes it
+    # (a hand-picked own_len=256 at CH=4 measured a 16.25M VMEM OOM)
+    own_len = suggest_own_len(m, halo, chains=CH)
+    C = seg_count(n, own_len)
+    seg_len = halo + own_len
+    OUT = -(-(seg_len + 1) // 8) * 8
+    dist_d, mins_d = myers_search_block_mins_from_hay(
+        hay, nchar, needle_len=m, halo=halo, own_len=own_len, num=C,
+        chains=CH)
+    mins = np.asarray(mins_d)
+    rb, cols = np.nonzero(mins <= k)
+    pad_n = 1 << max(3, int(np.ceil(np.log2(max(rb.size, 2)))))
+    rb_p = np.empty(pad_n, np.int32); cols_p = np.empty(pad_n, np.int32)
+    rb_p[:rb.size], rb_p[rb.size:] = rb, rb[-1] if rb.size else 0
+    cols_p[:cols.size], cols_p[cols.size:] = cols, cols[-1] if cols.size else 0
+    blocks = np.asarray(myers_gather_blocks(dist_d, rb_p, cols_p))
+    _, gpos, d_arr = collect_hits(
+        blocks, rb, cols, k, OUT=OUT, G=G, C=C, halo=halo, own_len=own_len,
+        limit_pos=n, chains=CH)
+    got_by_end = dict(zip(gpos.tolist(), d_arr.tolist()))
+    if got_by_end != exp_by_end:
+        bad += 1
+        miss = set(exp_by_end) ^ set(got_by_end)
+        print(f"CHAINED SEARCH ch={CH}: {len(miss)} end-position mismatches {sorted(miss)[:5]}")
+print("chained (chains=2/4) search fuzz done")
 
 # 12. mesh wrappers COMPILED on chip: a 1-device mesh over the real TPU
 # runs the shard_map-wrapped production kernels through the public APIs
@@ -339,5 +345,38 @@ for st in (SearchType.All, SearchType.Best):
     if got_s != exp_s:
         bad += 1; print(f"MESH SEARCH {st}: {got_s[:3]} vs {exp_s[:3]}")
 print("mesh wrapper fuzz done")
+
+# 13. packed + chained distance kernel (round 4): chars pack 4-per-int32
+# with NO pad sentinels and chains=4 interleaves four lane blocks per
+# grid step — prove the compiled kernel at a real batch shape with
+# NUL-bearing strings (the case where pad bytes can equal real chars)
+from triple_accel_tpu.ops.pallas.lev_myers import (  # noqa: E402
+    myers_chain_plan, myers_distance_pallas, prepare_myers_inputs)
+
+da, db = [], []
+for _ in range(8192):
+    ln = int(rng.integers(1, 790))
+    x = rng.integers(0, 256, ln).astype(np.uint8)
+    x[rng.integers(0, ln, 2)] = 0
+    y = x.copy()
+    y[rng.integers(0, ln, min(4, ln))] = 1
+    da.append(x); db.append(y)
+*margs, decode = prepare_myers_inputs(da, db, 32, 800)
+ch = myers_chain_plan(32, 800, margs[2].shape[1])
+d1 = decode(myers_distance_pallas(*margs, k=32, max_m=800, chains=1))
+dc = decode(myers_distance_pallas(*margs, k=32, max_m=800, chains=ch))
+if not np.array_equal(d1, dc):
+    bad += 1
+    w = np.nonzero(d1 != dc)[0]
+    print(f"CHAINED DIST ch={ch}: {w.size} lanes differ, first {w[:5]}")
+for i in rng.integers(0, 8192, 24):
+    ref = levenshtein_naive_k_with_opts(da[i], db[i], 32)
+    exp = ref[0] if ref is not None else None
+    got = int(d1[i])
+    if exp is None:
+        if got <= 32: bad += 1; print(f"PACKED DIST i{i}: false accept {got}")
+    elif got != exp:
+        bad += 1; print(f"PACKED DIST i{i}: {got} != {exp}")
+print(f"packed chained distance fuzz done (chains={ch})")
 print(f"FINAL FUZZ TOTAL: {bad} mismatches")
 sys.exit(1 if bad else 0)

@@ -428,3 +428,46 @@ def test_flat_distance_dispatch_wide_band():
                                             False, costs)
         exp = -1 if ref is None else ref[0]
         assert int(got[i]) == exp, i
+
+
+def test_trace_batch_chunks_on_batch_axis():
+    """Big traced batches must chunk the scan walk's codes buffer (at
+    B=256/3000-char/k=1000 the un-chunked buffer hit 2.148e9 cells and the
+    flat gather indices overflowed int32).  Shrinking the cap must produce
+    identical results to one chunk."""
+    import importlib
+
+    lev = importlib.import_module("triple_accel_tpu.levenshtein")
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+
+    rng = np.random.default_rng(21)
+    a_list, b_list = [], []
+    for _ in range(12):
+        ln = int(rng.integers(1, 40))
+        a = rng.integers(65, 70, ln).astype(np.uint8)
+        b = list(a)
+        for _ in range(int(rng.integers(0, 4))):
+            op = rng.integers(0, 3)
+            if op == 0:
+                b[rng.integers(0, len(b))] = rng.integers(65, 70)
+            elif op == 1:
+                b.insert(int(rng.integers(0, len(b) + 1)),
+                         int(rng.integers(65, 70)))
+            elif len(b) > 1:
+                del b[rng.integers(0, len(b))]
+        a_list.append(a)
+        b_list.append(np.asarray(b, np.uint8))
+    import os
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "scan"
+    try:
+        ref = levenshtein_k_batch(a_list, b_list, 30, trace_on=True)
+        saved = lev._TRACE_CELLS_CAP
+        lev._TRACE_CELLS_CAP = 256  # force several batch chunks
+        try:
+            got = levenshtein_k_batch(a_list, b_list, 30, trace_on=True)
+        finally:
+            lev._TRACE_CELLS_CAP = saved
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+    assert np.array_equal(got[0], ref[0])
+    assert got[1] == ref[1]

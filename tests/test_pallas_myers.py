@@ -68,20 +68,28 @@ def test_myers_kernel_matches_oracle(k, max_m):
             assert got > k, f"pair {p}: false accept {got} <= {k} < {e}"
 
 
-@pytest.mark.parametrize("k,max_m,B", [(8, 64, 4096), (32, 64, 2048),
-                                       (130, 48, 512)])
-def test_myers_device_sentinels_matches_passthrough(k, max_m, B):
-    """Pre-transforming a raw uint8 batch with myers_device_sentinels and
-    feeding the int32 result back must be bit-identical to the wrapper's
-    own uint8 arrival path, across the G = 8 / 4 / 1 packing regimes
-    (bench.py hoists this transform out of its timed loop)."""
-    from triple_accel_tpu.ops.pallas.lev_myers import myers_device_sentinels
+@pytest.mark.parametrize("chains,k,max_m,B", [
+    # chains=2 across the G = 8 / 4 / 1 packing regimes; one chains=4
+    # case at a small body (the CH=4 interpret compile is minutes-slow,
+    # and the G regimes share the chain plumbing)
+    (2, 8, 64, 8192), (2, 32, 64, 4096), (2, 130, 48, 1024),
+    (4, 8, 16, 8192), (1, 32, 64, 4096),
+])
+def test_myers_packed_prepack_and_chains(k, max_m, B, chains):
+    """The packed int32 layout (myers_device_pack; bench.py hoists it out
+    of its timed loop) fed back to the wrapper must be bit-identical to
+    the raw uint8 arrival path, for chains = 1/2/4 across the G = 8/4/1
+    packing regimes — strings include NUL bytes, the case where a pad
+    byte CAN equal a real char (the kernel's virtual-column Eq masking
+    and the rightward-only contamination argument carry correctness)."""
+    from triple_accel_tpu.ops.pallas.lev_myers import myers_device_pack
 
     rng = np.random.default_rng(77 + k)
     a_list, b_list = [], []
     for _ in range(B):
         la = int(rng.integers(1, max_m))
         x = rng.integers(0, 256, la).astype(np.uint8)
+        x[rng.integers(0, la, 2)] = 0  # NULs: pads are 0 too
         y = x.copy()
         if la > 3:
             y[rng.integers(0, la, min(3, k))] = 1
@@ -90,10 +98,14 @@ def test_myers_device_sentinels_matches_passthrough(k, max_m, B):
     *args, decode = prepare_myers_inputs(a_list, b_list, k, max_m)
     d1 = decode(myers_distance_pallas(*args, k=k, max_m=max_m,
                                       interpret=True))
-    a32, b32 = myers_device_sentinels(*args, k=k, max_m=max_m)
-    d2 = decode(myers_distance_pallas(a32, b32, *args[2:], k=k,
-                                      max_m=max_m, interpret=True))
+    packed = myers_device_pack(*args, k=k, max_m=max_m, chains=chains)
+    d2 = decode(myers_distance_pallas(*packed, k=k, max_m=max_m,
+                                      interpret=True, chains=chains))
     assert np.array_equal(d1, d2)
+    # raw uint8 arrival with the same chain count must also agree
+    d3 = decode(myers_distance_pallas(*args, k=k, max_m=max_m,
+                                      interpret=True, chains=chains))
+    assert np.array_equal(d1, d3)
 
 
 def test_myers_plan_limits():
@@ -309,16 +321,18 @@ def test_search_raw_packed_layout_and_sentinels(m, tiled):
                 assert got == 1 << 30, (c, t, got)
 
 
+@pytest.mark.parametrize("ch", [2, 4])
 @pytest.mark.parametrize("tiled", [False, True])
 @pytest.mark.parametrize("m", [9, 24, 200])  # G = 8, 4, 1 regimes
-def test_search_chained_matches_single_chain(m, tiled):
-    """chains=2 (two independent segment blocks advanced per grid step
-    with interleaved bit chains) must be bit-identical to chains=1 on
-    every real column after decoding the raw CHAINED layout (chain ch's
-    packed-step band holds original lane-block gb2*2 + ch) — the chains
-    share no state.  Covers all three packing regimes, both store
-    schemes, and the damerau + anchored variants; collect_hits' chains
-    decode is checked against the same remap."""
+def test_search_chained_matches_single_chain(m, tiled, ch):
+    """chains=2/4 (independent segment blocks advanced per grid step
+    with interleaved bit chains; the dispatcher picks 4 for big
+    haystacks) must be bit-identical to chains=1 on every real column
+    after decoding the raw CHAINED layout (chain c's packed-step band
+    holds original lane-block gb2*ch + c) — the chains share no state.
+    Covers all three packing regimes, both store schemes, and the
+    damerau + anchored variants; collect_hits' chains decode is checked
+    against the same remap."""
     from triple_accel_tpu.ops.pallas.search_myers import (
         BLOCK,
         collect_hits,
@@ -334,9 +348,10 @@ def test_search_chained_matches_single_chain(m, tiled):
     segs = rng.integers(65, 69, (C0, seg_len)).astype(np.uint8)
     needle = rng.integers(65, 69, m).astype(np.uint8)
     nchar, seg_t, _ = prepare_myers_search_inputs(needle, segs)
-    nchar2, seg_t2, _ = prepare_myers_search_inputs(needle, segs, chains=2)
+    nchar2, seg_t2, _ = prepare_myers_search_inputs(needle, segs,
+                                                    chains=ch)
     width = seg_t.shape[0] // G
-    assert seg_t2.shape[0] == 2 * G * width
+    assert seg_t2.shape[0] == ch * G * width
     BG = seg_t.shape[1]
     damerau = m == 24
     anchored = m == 9
@@ -344,15 +359,16 @@ def test_search_chained_matches_single_chain(m, tiled):
               anchored=anchored, interpret=True, damerau=damerau,
               tiled=tiled)
     out1 = np.asarray(myers_search_pallas(nchar, seg_t, chains=1, **kw))
-    out2 = np.asarray(myers_search_pallas(nchar2, seg_t2, chains=2, **kw))
+    out2 = np.asarray(myers_search_pallas(nchar2, seg_t2, chains=ch,
+                                          **kw))
     OUT = out1.shape[0] // G
     nbc = out2.shape[1] // 128
-    # un-restack in numpy: chain band ch holds original lane-block
-    # gb2*2 + ch at columns gb2*128 + lane
+    # un-restack in numpy: chain band c holds original lane-block
+    # gb2*ch + c at columns gb2*128 + lane
     dec = (
-        out2.reshape(2, G * OUT, nbc, 128)
+        out2.reshape(ch, G * OUT, nbc, 128)
         .transpose(1, 2, 0, 3)
-        .reshape(G * OUT, nbc * 2 * 128)
+        .reshape(G * OUT, nbc * ch * 128)
     )
     np.testing.assert_array_equal(dec[:, :BG], out1)
 
@@ -374,7 +390,7 @@ def test_search_chained_matches_single_chain(m, tiled):
         )
         return list(zip(gpos.tolist(), d.tolist()))
 
-    assert hits(out1, 1) == hits(out2, 2)
+    assert hits(out1, 1) == hits(out2, ch)
 
 
 @pytest.mark.parametrize(

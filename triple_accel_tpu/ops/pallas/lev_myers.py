@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "myers_distance_pallas",
-    "myers_device_sentinels",
+    "myers_device_pack",
+    "myers_chain_plan",
     "prepare_myers_inputs",
     "myers_plan",
     "LANES",
@@ -82,19 +83,42 @@ def myers_plan(k: int):
     return NW, SG, G, WIN
 
 
-def _make_kernel(k: int, max_m: int):
+def _make_kernel(k: int, max_m: int, chains: int = 1):
     NW, SG, G, WIN = myers_plan(k)
     Wp = NW * WORD  # padded window bits (extra top bits only widen the band)
     topw = NW - 1
     topoff = (Wp - 1) % WORD
+    CH = chains
 
     MB = max_m + WIN
+    MP4 = max_m // 4  # packed char rows (4 uint8 per int32)
+    MB4 = MB // 4
+    WL = WIN // 4 + 1  # packed rows loaded per window (any byte phase)
 
     def kernel(a_ref, b_ref, m_ref, dlen_ref, ukl_ref, out_ref):
-        # a_ref:    [G*max_m, LANES]  chars of a per block (-1 pad)
-        # b_ref:    [G*MB, LANES]     chars of b at per-pair ukl
-        # m/dlen/ukl_ref: [8, LANES]  per-pair len(a), len(b)-len(a),
-        #     ukL — pre-expanded on the host onto each block's subgroup rows
+        # a_ref:    [CH*G*MP4, LANES]  a chars PACKED 4-per-int32 (byte s
+        #           of packed row q is char 4q+s; 0 pads)
+        # b_ref:    [CH*G*MB4, LANES]  b chars packed likewise, placed at
+        #           each pair's ukl byte offset
+        # m/dlen/ukl_ref: [CH*8, LANES]  per-pair len(a), len(b)-len(a),
+        #     ukL — pre-expanded onto each block's subgroup rows
+        #
+        # Pads carry NO sentinel: a pad byte influences only rows i > m
+        # (the result latches at i == m), and a b pad byte only columns
+        # j > n — every dependence in the recurrence moves rightward in j
+        # (shl1 and the add carries go up in p, shr1 is the window slide,
+        # the anchor reads bit 0 = the leftmost column), so j > n
+        # contamination never reaches the masked j <= n readout.  That is
+        # what lets the chars pack 4x (quartering VMEM blocks and the HBM
+        # input stream) where the old layout spent an int32 per char on
+        # -1/-2 sentinels.
+        #
+        # chains > 1: CH independent 128-lane blocks advance per loop step
+        # with their bit chains interleaved — the serial Myers chain
+        # issues below 1 op/cycle on dependent ops, and the other chains'
+        # ops fill those stalls.  Chains ride the SUBLANE axis: Mosaic
+        # rejects dynamic sublane loads combined with a lane offset, so
+        # every load/store stays full-lane.
         row = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
         sub = row & (SG - 1)  # word index within the subgroup
         ones = jnp.ones((8, LANES), jnp.int32)
@@ -102,16 +126,17 @@ def _make_kernel(k: int, max_m: int):
         top_tile = jnp.where(sub == topw, jnp.int32(1) << topoff, 0)
         zero = jnp.zeros((8, LANES), jnp.int32)
 
-        m_tile = m_ref[...]
-        ukl_tile = ukl_ref[...]
-        dlen_tile = dlen_ref[...]
+        m_tiles = [m_ref[c * 8:(c + 1) * 8, :] for c in range(CH)]
+        ukl_tiles = [ukl_ref[c * 8:(c + 1) * 8, :] for c in range(CH)]
+        dlen_tiles = [dlen_ref[c * 8:(c + 1) * 8, :] for c in range(CH)]
 
         def bnot(x):
             return x ^ maskw
 
         if SG > 1:
             def roll_up(x, d):  # word w <- word w+d within each subgroup
-                return jnp.where(sub >= SG - d, 0, pltpu.roll(x, 8 - d, axis=0))
+                return jnp.where(sub >= SG - d, 0,
+                                 pltpu.roll(x, 8 - d, axis=0))
 
             def roll_down(x, d):  # word w <- word w-d within each subgroup
                 return jnp.where(sub < d, 0, pltpu.roll(x, d, axis=0))
@@ -147,42 +172,60 @@ def _make_kernel(k: int, max_m: int):
                     d <<= 1
             return (s + c) & maskw
 
-        # Eq packing weights: one block-diagonal matrix so all G blocks
-        # pack with a SINGLE MXU dot per row (G separate small dots would
-        # serialize on the MXU); block u's window occupies columns
-        # [u*WIN, (u+1)*WIN) and lands on its subgroup's rows
-        wr = lax.broadcasted_iota(jnp.int32, (8, G * WIN), 0)
-        wc = lax.broadcasted_iota(jnp.int32, (8, G * WIN), 1)
-        u_col = wc // WIN
-        t = (wc % WIN) - WORD * (wr - u_col * SG)
-        wt_all = jnp.where(
-            (wr >= u_col * SG) & (wr < u_col * SG + NW)
-            & (t >= 0) & (t < WORD),
-            (jnp.int32(1) << jnp.clip(t, 0, WORD - 1)).astype(jnp.float32),
-            0.0,
-        )
+        # Eq packing weights, one PER BYTE PHASE: the compares run in the
+        # packed domain, so eqf rows are (u, s, q) — byte lane s of packed
+        # window row q of block u — and window position t = 4q + s - ph
+        # for a window starting at byte phase ph.  One block-diagonal
+        # matrix per phase keeps the whole pack a SINGLE MXU dot per row
+        # (the phase is static: row i-1 mod 4 cycles with the unroll).
+        def make_wt(ph):
+            wr = lax.broadcasted_iota(jnp.int32, (8, G * 4 * WL), 0)
+            wc = lax.broadcasted_iota(jnp.int32, (8, G * 4 * WL), 1)
+            u_col = wc // (4 * WL)
+            rem = wc % (4 * WL)
+            s_col = rem // WL
+            q_col = rem % WL
+            t = 4 * q_col + s_col - ph
+            tw = t - WORD * (wr - u_col * SG)
+            return jnp.where(
+                (t >= 0) & (t < WIN)
+                & (wr >= u_col * SG) & (wr < u_col * SG + NW)
+                & (tw >= 0) & (tw < WORD),
+                (jnp.int32(1) << jnp.clip(tw, 0, WORD - 1)).astype(
+                    jnp.float32),
+                0.0,
+            )
+
+        wts = [make_wt(ph) for ph in range(4)]
 
         # virtual-column mask base: bits p <= ukL - i  <->  p < ukL - i + 1
-        vbase = ukl_tile + 1 - WORD * sub
+        vbases = [uk + 1 - WORD * sub for uk in ukl_tiles]
 
         ph0 = maskw
-        a0 = -ukl_tile - 1  # A_0 = D[0, -ukL-1] (virtual row 0: D[0,j] = j)
-        state0 = (ph0, zero, a0, ph0, zero, a0)
+        # A_0 = D[0, -ukL-1] (virtual row 0: D[0,j] = j)
+        states0 = [
+            (ph0, zero, -uk - 1, ph0, zero, -uk - 1) for uk in ukl_tiles
+        ]
 
-        def eq_for_row(i):
+        def eq_for_row(q0, ph, c):
+            # row i with i-1 = 4*q0 + ph: char byte ph of packed row q0
             eqs = []
             for u in range(G):
-                a_char = a_ref[pl.ds(u * max_m + i - 1, 1), :]
-                bwin = b_ref[pl.ds(u * MB + i - 1, WIN), :]
-                eqs.append(
-                    jnp.where(bwin == a_char, 1.0, 0.0).astype(jnp.float32)
-                )
-            eqf = eqs[0] if G == 1 else jnp.concatenate(eqs, axis=0)
+                ap = a_ref[pl.ds(c * G * MP4 + u * MP4 + q0, 1), :]
+                a_char = (ap >> (8 * ph)) & 0xFF
+                bp = b_ref[pl.ds(c * G * MB4 + u * MB4 + q0, WL), :]
+                for s in range(4):
+                    bs = (bp >> (8 * s)) & 0xFF
+                    eqs.append(
+                        jnp.where(bs == a_char, 1.0, 0.0).astype(
+                            jnp.float32)
+                    )
+            eqf = eqs[0] if len(eqs) == 1 else jnp.concatenate(eqs, axis=0)
             return jnp.dot(
-                wt_all, eqf, preferred_element_type=jnp.float32
+                wts[ph], eqf, preferred_element_type=jnp.float32
             ).astype(jnp.int32) & maskw
 
-        def step(i, state, Eq, with_virtual):
+        def step(i, state, Eq, with_virtual, c):
             Ph, Mh, A, rP, rM, rA = state
             # anchor: A_i = D[i, i-ukL-1] = D[i-1, (i-1)-ukL] + 1
             A = A + (Ph & 1) - (Mh & 1) + 1
@@ -190,15 +233,22 @@ def _make_kernel(k: int, max_m: int):
             PhI = shr1(Ph, top_tile)
             MhI = shr1(Mh, zero)
 
+            if with_virtual:
+                # virtual columns j <= 0: clear spurious Eq matches FIRST
+                # (a b pad byte can equal a real NUL needle char now that
+                # pads carry no sentinel; an Eq bit here would leak a
+                # carry up into real bits through the add below), then
+                # force dv = +1 (and dh below)
+                vbits = jnp.clip(vbases[c] - i, 0, WORD)
+                vmask = ((jnp.int32(1) << vbits) - 1) & maskw
+                nvmask = bnot(vmask)
+                Eq = Eq & nvmask
+
             Xh = Eq | MhI
             X = (add_words(Eq & PhI, PhI) ^ PhI) | Eq
             Pv = MhI | bnot(X | PhI)
             Mv = PhI & X
             if with_virtual:
-                # virtual columns j <= 0: force dv = +1 (and dh below)
-                vbits = jnp.clip(vbase - i, 0, WORD)
-                vmask = ((jnp.int32(1) << vbits) - 1) & maskw
-                nvmask = bnot(vmask)
                 Pv = Pv | vmask
                 Mv = Mv & nvmask
 
@@ -210,7 +260,7 @@ def _make_kernel(k: int, max_m: int):
                 Ph = Ph | vmask
                 Mh = Mh & nvmask
 
-            at_m = i == m_tile
+            at_m = i == m_tiles[c]
             rP = jnp.where(at_m, Ph, rP)
             rM = jnp.where(at_m, Mh, rM)
             rA = jnp.where(at_m, A, rA)
@@ -221,17 +271,25 @@ def _make_kernel(k: int, max_m: int):
         # UN=2 +24%, UN=4 +40%, UN=8 +75% over no unroll; UN=16 regresses
         # slightly and quadruples compile time.
         UN = 8
+        assert UN % 4 == 0
 
         def make_body(with_virtual: bool):
             # several rows per iteration: each row's Eq pipeline (slices,
             # compares, MXU dot) is independent of the previous row's bit
-            # chain, so the compiler overlaps MXU and VPU work
-            def body(t, state):
+            # chain, so the compiler overlaps MXU and VPU work; with
+            # CH > 1 the chains' mutually independent steps additionally
+            # interleave within each row
+            def body(t, flat):
+                states = [tuple(flat[6 * c:6 * c + 6]) for c in range(CH)]
                 i0 = UN * (t - 1) + 1
-                eqs = [eq_for_row(i0 + r) for r in range(UN)]
+                q0 = (UN // 4) * (t - 1)  # packed row base; phase = r % 4
+                eqs = [[eq_for_row(q0 + r // 4, r % 4, c)
+                        for r in range(UN)] for c in range(CH)]
                 for r in range(UN):
-                    state = step(i0 + r, state, eqs[r], with_virtual)
-                return state
+                    for c in range(CH):
+                        states[c] = step(i0 + r, states[c], eqs[c][r],
+                                         with_virtual, c)
+                return sum((list(s) for s in states), [])
 
             return body
 
@@ -240,14 +298,11 @@ def _make_kernel(k: int, max_m: int):
         # Bounds are in UN-row steps.
         assert max_m % UN == 0
         split_u = min((k // 2 + UN) // UN, max_m // UN)
-        state1 = lax.fori_loop(1, split_u + 1, make_body(True), state0)
-        _, _, _, rP, rM, rA = lax.fori_loop(
-            split_u + 1, max_m // UN + 1, make_body(False), state1
+        flat0 = sum((list(s) for s in states0), [])
+        flat1 = lax.fori_loop(1, split_u + 1, make_body(True), flat0)
+        flat2 = lax.fori_loop(
+            split_u + 1, max_m // UN + 1, make_body(False), flat1
         )
-
-        # D[m, n] = A_m + sum of dh[m] bits p in [0, dlen + ukL]
-        hi_b = jnp.clip(dlen_tile + ukl_tile + 1 - WORD * sub, 0, WORD)
-        sel = ((jnp.int32(1) << hi_b) - 1) & maskw
 
         def popcount(x):
             x = x - ((x >> 1) & 0x55555555)
@@ -255,67 +310,108 @@ def _make_kernel(k: int, max_m: int):
             x = (x + (x >> 4)) & 0x0F0F0F0F
             return (x * 0x01010101) >> 24
 
-        pops = popcount(rP & sel) - popcount(rM & sel)
-        # sum each subgroup's words onto its first row
-        acc = pops
-        d = 1
-        while d < SG:
-            acc = acc + roll_up(acc, d)
-            d <<= 1
-        res = rA + acc  # valid at rows u*SG
-        for u in range(G):
-            out_ref[u : u + 1, :] = res[u * SG : u * SG + 1, :]
+        for c in range(CH):
+            _, _, _, rP, rM, rA = flat2[6 * c:6 * c + 6]
+            # D[m, n] = A_m + sum of dh[m] bits p in [0, dlen + ukL]
+            hi_b = jnp.clip(
+                dlen_tiles[c] + ukl_tiles[c] + 1 - WORD * sub, 0, WORD
+            )
+            sel = ((jnp.int32(1) << hi_b) - 1) & maskw
+            pops = popcount(rP & sel) - popcount(rM & sel)
+            # sum each subgroup's words onto its first row
+            acc = pops
+            d = 1
+            while d < SG:
+                acc = acc + roll_up(acc, d)
+                d <<= 1
+            res = rA + acc  # valid at rows u*SG
+            for u in range(G):
+                out_ref[c * G + u:c * G + u + 1, :] = res[
+                    u * SG:u * SG + 1, :
+                ]
 
     return kernel, G, WIN
 
 
-@partial(jax.jit, static_argnames=("k", "max_m"))
-def myers_device_sentinels(
+def myers_chain_plan(k: int, max_m: int, BG: int) -> int:
+    """How many interleaved chains the distance kernel should run: the
+    largest CH in (4, 2, 1) whose double-buffered packed input blocks fit
+    ~11MB of the 16MB scoped VMEM and whose lane split still yields >= 2
+    grid steps of CH*128 lanes."""
+    NW, SG, G, WIN = myers_plan(k)
+    rows_per_chain = G * (max_m // 4 + (max_m + WIN) // 4) + 24 + G
+    for ch in (4, 2, 1):
+        if BG % (ch * LANES) or BG // (ch * LANES) < 2:
+            continue
+        if 2 * ch * rows_per_chain <= 22000:
+            return ch
+    return 1
+
+
+@partial(jax.jit, static_argnames=("k", "max_m", "chains"))
+def myers_device_pack(
     a_t: jnp.ndarray,  # [G, BG, max_m] uint8 row-major, 0 pads
-    b_t: jnp.ndarray,  # [G, BG, max_m+WIN] uint8 row-major, 0 pads
+    b_t: jnp.ndarray,  # [G, BG, max_m+WIN] uint8 row-major, 0 pads,
+    #                    each pair's chars at its ukl byte offset
     m: jnp.ndarray,  # [8, BG] int32 len(a), expanded onto subgroup rows
     dlen: jnp.ndarray,  # [8, BG] int32 len(b) - len(a), expanded
     ukl: jnp.ndarray,  # [8, BG] int32 left band half-width, expanded
     *,
     k: int,
     max_m: int,
+    chains: int = 1,
 ):
     """Device-side transform from the raw row-major uint8 upload layout to
-    the kernel's transposed int32 sentinel layout: transpose, widen, and
-    rebuild the -1 (a pad) / -2 (b pad) sentinels from m/dlen/ukl.
-
-    Runs once per uploaded batch (the raw layout quarters the
-    host->device transfer and avoids the ~100-240 MB/s host numpy
-    transpose); steady-state redispatch on resident data (bench.py's
-    pipelined loop) feeds the returned int32 arrays straight to
+    the kernel's PACKED transposed layout: 4 chars per int32 (byte s of
+    packed row q = char 4q + s), then one transpose of the 4x-smaller
+    arrays.  chains > 1 additionally restacks lane blocks onto sublane
+    chain bands (chain c of block gb2 holds original lane block
+    gb2*CH + c).  Runs once per uploaded batch; steady-state redispatch
+    on resident data feeds the packed int32 results straight to
     `myers_distance_pallas`, which passes int32 arrivals through.
+
+    Returns (a_p, b_p, m, dlen, ukl) in the kernel layouts.
     """
     NW, SG, G, WIN = myers_plan(k)
+    CH = chains
     BG = m.shape[1]
     MB = max_m + WIN
-    # m/dlen/ukl rows are expanded by subgroup; row u*SGe holds group
-    # u's values (SGe = 8 // G; G = 1 multi-vreg reads row 0 only)
-    SGe = 8 // G
-    mg = m[::SGe, :][:, None, :]  # [G, 1, BG]
-    ng = (m + dlen)[::SGe, :][:, None, :]
-    ug = ukl[::SGe, :][:, None, :]
-    ja = jax.lax.broadcasted_iota(jnp.int32, (G, max_m, BG), 1)
-    jb = jax.lax.broadcasted_iota(jnp.int32, (G, MB, BG), 1)
-    a3 = a_t.transpose(0, 2, 1)  # [G, max_m, BG]
-    b3 = b_t.transpose(0, 2, 1)
-    a32 = jnp.where(ja < mg, a3.astype(jnp.int32), -1).reshape(
-        G * max_m, BG
-    )
-    b32 = jnp.where(
-        (jb >= ug) & (jb < ug + ng), b3.astype(jnp.int32), -2
-    ).reshape(G * MB, BG)
-    return a32, b32
+
+    def pack(x, length):
+        x4 = x.reshape(G, BG, length // 4, 4).astype(jnp.int32)
+        p = (x4[..., 0] | (x4[..., 1] << 8) | (x4[..., 2] << 16)
+             | (x4[..., 3] << 24))
+        return p.transpose(0, 2, 1).reshape(G * (length // 4), BG)
+
+    a_p = pack(a_t, max_m)
+    b_p = pack(b_t, MB)
+    if CH > 1:
+        assert BG % (CH * LANES) == 0 and BG // (CH * LANES) >= 2, (
+            f"BG={BG} will not split into >= 2 grid steps of {CH}*128 "
+            f"lanes; pick chains with myers_chain_plan"
+        )
+        nb = BG // (CH * LANES)
+
+        def restack(x, rows):
+            return (
+                x.reshape(rows, nb, CH, LANES)
+                .transpose(2, 0, 1, 3)
+                .reshape(CH * rows, nb * LANES)
+            )
+
+        a_p = restack(a_p, G * (max_m // 4))
+        b_p = restack(b_p, G * (MB // 4))
+        m = restack(m, 8)
+        dlen = restack(dlen, 8)
+        ukl = restack(ukl, 8)
+    return a_p, b_p, m, dlen, ukl
 
 
-@partial(jax.jit, static_argnames=("k", "max_m", "interpret"))
+@partial(jax.jit, static_argnames=("k", "max_m", "interpret", "chains"))
 def myers_distance_pallas(
-    a_t: jnp.ndarray,  # [G*max_m, B/G] int32 (see prepare_myers_inputs)
-    b_t: jnp.ndarray,  # [G*(max_m+WIN), B/G] int32
+    a_t: jnp.ndarray,  # [CH*G*(max_m//4), B/G/CH] packed int32, or raw
+    #                    [G, BG, max_m] uint8 (packed on device)
+    b_t: jnp.ndarray,  # [CH*G*((max_m+WIN)//4), B/G/CH] packed int32/raw
     m: jnp.ndarray,  # [8, B/G] int32 len(a), expanded onto subgroup rows
     dlen: jnp.ndarray,  # [8, B/G] int32 len(b) - len(a), expanded
     ukl: jnp.ndarray,  # [8, B/G] int32 left band half-width, expanded
@@ -323,47 +419,68 @@ def myers_distance_pallas(
     k: int,
     max_m: int,
     interpret: bool = False,
+    chains: int = 1,
 ):
     """Bit-parallel banded unit-cost distance; returns dist [G, B/G] int32
     (pair p lives at [u, g*128+lane], p = (g*G + u)*128 + lane).
 
     Exact wherever the true distance <= the pair's threshold (any value
     <= k with ukl set accordingly); never under-estimates above it.
+
+    `chains` > 1 advances that many independent 128-lane blocks per grid
+    step with interleaved bit chains (fills dependent-op issue stalls);
+    identical results.  Pick with `myers_chain_plan` — the packed char
+    layout (4 chars/int32) keeps even chains=4 inside scoped VMEM at the
+    bench shape.
     """
-    kernel, G, WIN = _make_kernel(k, max_m)
-    BG = m.shape[1]  # m is [8, BG] in both input layouts
-    assert BG % LANES == 0 and BG // LANES >= 2, BG
-    grid = (BG // LANES,)
+    CH = chains
+    kernel, G, WIN = _make_kernel(k, max_m, chains=CH)
+    MP4 = max_m // 4
+    MB4 = (max_m + WIN) // 4
     # strings arrive as raw uint8 with 0-valued pads in ROW-major
     # [G, BG, len] order (a quarter of the transfer, no host transpose);
-    # transpose on device and rebuild the -1/-2 pad sentinels from
-    # m/dlen/ukl so the kernel sees the exact sentinel layout.  int32
-    # arrivals (pre-transformed resident batches, and tests building the
-    # transposed sentinel layout directly) pass through.
+    # pack + transpose + (chains) restack on device.  Packed int32
+    # arrivals (pre-transformed resident batches, already restacked for
+    # CH > 1: m is [CH*8, BG/CH]) pass through.
     if a_t.dtype != jnp.int32:
-        a_t, b_t = myers_device_sentinels(
-            a_t, b_t, m, dlen, ukl, k=k, max_m=max_m
+        BG = m.shape[1]
+        assert BG % (CH * LANES) == 0 and BG // (CH * LANES) >= 2, (BG, CH)
+        a_t, b_t, m, dlen, ukl = myers_device_pack(
+            a_t, b_t, m, dlen, ukl, k=k, max_m=max_m, chains=CH
         )
-    return pl.pallas_call(
+    else:
+        assert m.shape[0] == CH * 8, (m.shape, CH)
+        BG = m.shape[1] * CH
+        assert BG % (CH * LANES) == 0 and BG // (CH * LANES) >= 2, (BG, CH)
+    grid = (BG // (CH * LANES),)
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((G * max_m, LANES), lambda g: (0, g),
+            pl.BlockSpec((CH * G * MP4, LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * (max_m + WIN), LANES), lambda g: (0, g),
+            pl.BlockSpec((CH * G * MB4, LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda g: (0, g),
+            pl.BlockSpec((CH * 8, LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda g: (0, g),
+            pl.BlockSpec((CH * 8, LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda g: (0, g),
+            pl.BlockSpec((CH * 8, LANES), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, LANES), lambda g: (0, g),
+        out_specs=pl.BlockSpec((CH * G, LANES), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, BG), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((CH * G, BG // CH), jnp.int32),
         interpret=interpret,
     )(a_t, b_t, m, dlen, ukl)
+    if CH > 1:
+        nb = BG // (CH * LANES)
+        out = (
+            out.reshape(CH, G, nb, LANES)
+            .transpose(1, 2, 0, 3)
+            .reshape(G, BG)
+        )
+    return out
 
 
 def prepare_myers_inputs(a_list, b_list, k: int, max_m: int, ks=None,
@@ -398,9 +515,9 @@ def prepare_myers_inputs(a_list, b_list, k: int, max_m: int, ks=None,
     # dominated large-batch end-to-end time
     MB = max_m + WIN
     # raw uint8 with 0-valued pads quarters the host->device transfer
-    # (the e2e bottleneck for big batches); the kernel wrapper rebuilds
-    # the -1/-2 pad sentinels on device from m/dlen/ukl, so the kernel
-    # sees the exact sentinel layout it always did
+    # (the e2e bottleneck for big batches); the kernel wrapper packs 4
+    # chars per int32 on device (myers_device_pack) — pads need no
+    # sentinel value, see the kernel comment on contamination direction
     a_rows = np.zeros((G, BG, max_m), dtype=np.uint8)
     b_rows = np.zeros((G, BG, MB), dtype=np.uint8)
     m = np.zeros((8, BG), dtype=np.int32)

@@ -175,22 +175,25 @@ def search_chain_plan(needle_len: int, halo: int, iter_len: int) -> int:
     """How many interleaved chains the subgroup search kernel should run.
 
     The serial Myers bit chain issues below one op per cycle on dependent
-    ops; a second independent chain fills those stalls (+41% measured on
-    v5e, benches/search_kernel_profile.py).  Worth it only when the
-    haystack still yields >= 2 grid steps of 2*128 segment blocks at the
-    chain-aware owned length, and the shrunken segments don't drown the
-    win in halo re-compute (own_len must stay >= halo)."""
+    ops; independent chains fill those stalls — measured on v5e at m=24,
+    64MB (benches/search_kernel_profile.py, round 4): chains=2 +34%,
+    chains=4 +45% over the single chain.  A chain count is worth it only
+    when the haystack still yields >= 2 grid steps of ch*128 segment
+    blocks at the chain-aware owned length, and the shrunken segments
+    don't drown the win in halo re-compute (own_len must stay >= halo)."""
     plan = myers_search_plan(needle_len)
     if plan is None:
         return 1
     G = plan[2]
-    own2 = suggest_own_len(needle_len, halo, chains=2)
-    if own2 < max(halo, 256):
-        return 1
-    # >= 2 grid steps of CH*LANES segment columns at own2-sized segments
-    if seg_count(iter_len, own2) < 2 * 2 * G * LANES:
-        return 1
-    return 2
+    for ch in (4, 2):
+        own = suggest_own_len(needle_len, halo, chains=ch)
+        if own < max(halo, 256):
+            continue
+        # >= 2 grid steps of ch*LANES segment columns at own-sized segments
+        if seg_count(iter_len, own) < 2 * ch * G * LANES:
+            continue
+        return ch
+    return 1
 
 
 def myers_halo_budget(needle_len: int) -> int:

@@ -222,7 +222,10 @@ def sharded_myers_distance(
     BG divides evenly into D lane blocks of >= 2 grid steps each; the
     returned ``decode`` works unchanged on the assembled [G, BG] output.
     """
-    from ..ops.pallas.lev_myers import myers_distance_pallas
+    from ..ops.pallas.lev_myers import (
+        myers_chain_plan,
+        myers_distance_pallas,
+    )
 
     D = mesh.devices.size
     BG = m.shape[1]
@@ -231,6 +234,11 @@ def sharded_myers_distance(
             f"BG={BG} must split into >= 2 grid steps of 128 lanes per "
             f"device (D={D}); pack with prepare_myers_inputs(n_shards={D})"
         )
+    # interleaved chains planned against each device's LOCAL lane count;
+    # interpret mode pins 1 (the CH>1 interpret compile runs minutes-slow
+    # on CPU, and the virtual mesh measures sharding overhead, not chain
+    # wins — the compiled chain path is chip-fuzzed instead)
+    chains = 1 if interpret else myers_chain_plan(k, max_m, BG // D)
     spec3 = P(None, DATA_AXIS, None)
     spec2 = P(None, DATA_AXIS)
 
@@ -243,7 +251,8 @@ def sharded_myers_distance(
     )
     def step(a_l, b_l, m_l, d_l, u_l):
         return myers_distance_pallas(
-            a_l, b_l, m_l, d_l, u_l, k=k, max_m=max_m, interpret=interpret
+            a_l, b_l, m_l, d_l, u_l, k=k, max_m=max_m,
+            interpret=interpret, chains=chains,
         )
 
     sh3 = NamedSharding(mesh, spec3)
