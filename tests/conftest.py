@@ -26,3 +26,27 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+# The CPU suite compiles ~200 XLA programs in one process (several of
+# them huge interpret-mode Pallas bodies); around the ~160th big compile
+# the process segfaulted deterministically inside
+# backend_compile_and_load — cumulative JIT state (code mappings /
+# executable arenas), not RAM (125GB free) and not any single test (the
+# crash tracked suite POSITION across test-matrix edits).  Dropping the
+# accumulated executables periodically keeps the process well away from
+# that cliff; later tests recompile what they reuse.
+import pytest  # noqa: E402
+
+_TESTS_RUN = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    yield
+    _TESTS_RUN["n"] += 1
+    # every 25 tests: measured map counts peaked at ~57K within a 40-test
+    # window (vm.max_map_count defaults to 65530), and one clear dropped
+    # 56,838 -> 3,235 mappings
+    if _TESTS_RUN["n"] % 25 == 0:
+        jax.clear_caches()
