@@ -344,6 +344,11 @@ for st in (SearchType.All, SearchType.Best):
     exp_s = levenshtein_search_simd_with_opts(needle2, hay2, 3, st)
     if got_s != exp_s:
         bad += 1; print(f"MESH SEARCH {st}: {got_s[:3]} vs {exp_s[:3]}")
+from triple_accel_tpu.hamming import hamming_search_sharded  # noqa: E402
+got_h = hamming_search_sharded(needle2, hay2, 3, mesh1, SearchType.All)
+exp_h = hamming_search_simd_with_opts(needle2, hay2, 3, SearchType.All)
+if got_h != exp_h:
+    bad += 1; print(f"MESH HAMMING: {got_h[:3]} vs {exp_h[:3]}")
 print("mesh wrapper fuzz done")
 
 # 13. packed + chained distance kernel (round 4): chars pack 4-per-int32

@@ -348,3 +348,33 @@ def test_sharded_search_multi_mb_realistic_halo():
         near = [e for e in ends if abs(e - pos_end) <= k]
         assert near, f"boundary match near {pos_end} lost"
     assert len(ends) == len(set(ends)), "owner-by-end dedup failed"
+
+
+def test_hamming_search_sharded_matches_single_device():
+    """SP Hamming search: fixed-length windows partition start positions
+    exactly, so the sharded counts/minima share the single-device layout —
+    results must match hamming_search_simd_with_opts and the oracle,
+    including matches straddling shard boundaries, in both modes."""
+    from triple_accel_tpu.hamming import (
+        hamming_search_sharded,
+        hamming_search_simd_with_opts,
+    )
+    from triple_accel_tpu.oracle import hamming_search_naive_with_opts
+
+    rng = np.random.default_rng(77)
+    mesh = make_mesh(jax.devices())
+    m, k = 20, 4
+    n = 8 * 1024 + 37
+    needle = rng.integers(65, 91, m).astype(np.uint8)
+    hay = rng.integers(65, 91, n).astype(np.uint8)
+    S_approx = 1024  # BLOCK-sized shards
+    for pos in [0, S_approx - m // 2, 3 * S_approx - 1, n - m]:
+        mut = needle.copy()
+        mut[rng.integers(0, m, 2)] = 64
+        hay[pos : pos + m] = mut
+    for st in (SearchType.All, SearchType.Best):
+        got = hamming_search_sharded(needle, hay, k, mesh, st)
+        ref = hamming_search_simd_with_opts(needle, hay, k, st)
+        assert got == ref, st
+        ora = hamming_search_naive_with_opts(needle, hay, k, st)
+        assert got == ora, st

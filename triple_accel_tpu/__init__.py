@@ -42,6 +42,7 @@ from .hamming import (
     hamming as hamming_fn,
     hamming_batch,
     hamming_search,
+    hamming_search_sharded,
 )
 from .levenshtein import (
     levenshtein as levenshtein_fn,
@@ -80,6 +81,7 @@ __all__ = [
     "oracle",
     "hamming",
     "hamming_batch",
+    "hamming_search_sharded",
     "hamming_search",
     "levenshtein",
     "levenshtein_k_batch",

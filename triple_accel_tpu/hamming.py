@@ -44,6 +44,7 @@ __all__ = [
     "hamming_search_naive",
     "hamming_search_naive_with_opts",
     "hamming_search_simd",
+    "hamming_search_sharded",
     "hamming_search_simd_with_opts",
     "default_hamming_k",
 ]
@@ -156,7 +157,16 @@ def hamming_search_simd_with_opts(
     counts_d, mins_d = hamming_search_block_mins(
         needle, hay_pad, np.int32(n), needle_len=m
     )
-    mins = np.asarray(mins_d)
+    return _resolve_counts_matches(counts_d, np.asarray(mins_d), m, n, k,
+                                   search_type)
+
+
+def _resolve_counts_matches(counts_d, mins, m, n, k, search_type):
+    """Two-phase hit fetch + streaming postprocess over a device-resident
+    per-position counts array (single-device or mesh-sharded — the layouts
+    are identical: global start position p lives at counts[p], block b's
+    minimum at mins[b])."""
+    from .ops.hamming_ops import BLOCK, hamming_gather_blocks
     kk = min(k, m)
     best = search_type == SearchType.Best
     if best:
@@ -255,3 +265,42 @@ def hamming_search(needle: BytesLike, haystack: BytesLike) -> List[Match]:
     True
     """
     return hamming_search_simd(needle, haystack)
+
+
+def hamming_search_sharded(
+    needle: BytesLike,
+    haystack: BytesLike,
+    k: int,
+    mesh,
+    search_type: SearchType = SearchType.Best,
+) -> List[Match]:
+    """Hamming search of ONE long haystack sharded across a device mesh —
+    results are exactly `hamming_search_simd_with_opts`'s.
+
+    Each device counts mismatches at its own start positions after a
+    single `lax.ppermute` pulls the right neighbor's first needle_len-1
+    chars (`parallel.sharded_hamming_search_mins`); fixed-length windows
+    mean start positions partition exactly across shards (no dedup), and
+    the assembled counts/minima share the single-device layout, so the
+    same two-phase fetch + streaming postprocess resolves them.
+    """
+    from .ops.hamming_ops import BLOCK
+    from .parallel.sharded import sharded_hamming_search_mins
+
+    needle = to_bytes_array(needle)
+    haystack = to_bytes_array(haystack)
+    m, n = len(needle), len(haystack)
+    if m > n or m == 0:
+        return []
+    D = int(mesh.devices.size)
+    S = max(
+        round_up_pow2(-(-(n + 1) // D), BLOCK),
+        round_up_pow2(m, BLOCK),  # the halo must fit inside one shard
+    )
+    shards = np.zeros((D, S), dtype=np.uint8)
+    shards.reshape(-1)[:n] = haystack
+    counts_d, mins_d = sharded_hamming_search_mins(
+        mesh, shards, needle, np.int32(n), needle_len=m
+    )
+    return _resolve_counts_matches(counts_d, np.asarray(mins_d), m, n, k,
+                                   search_type)

@@ -26,8 +26,9 @@ same saturating-unsigned trick, realized as a signed dtype with a
 headroom-checked +inf sentinel and an explicit clamp per step (the
 reference instead relies on hardware saturating adds, jewel.rs:2264-2288).
 
-NARROW-DTYPE STATUS ON HARDWARE (verified again 2026-08-16, round 2):
-the ladder remains interpret-only.  Compiling the int16 variant still
+NARROW-DTYPE STATUS ON HARDWARE (re-verified 2026-08-19, round 4 — both
+int8 and int16 variants still fail the same way): the ladder remains
+interpret-only.  Compiling the int16 variant still
 crashes the Mosaic toolchain in this environment — the remote compile
 helper exits with "HTTP 500: tpu_compile_helper subprocess exit code 1"
 on the kernel's sub-int32 `pltpu.roll`/select ops (reproduce with

@@ -19,6 +19,7 @@ from .sharded import (
     match_count_psum,
     sharded_distance_step,
     sharded_myers_distance,
+    sharded_hamming_search_mins,
     sharded_myers_search_mins,
     sharded_search_step,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "match_count_psum",
     "sharded_distance_step",
     "sharded_myers_distance",
+    "sharded_hamming_search_mins",
     "sharded_myers_search_mins",
     "sharded_search_step",
 ]

@@ -36,6 +36,7 @@ __all__ = [
     "sharded_search_step",
     "sharded_myers_distance",
     "sharded_myers_search_mins",
+    "sharded_hamming_search_mins",
     "collect_sharded_hits",
 ]
 
@@ -404,3 +405,74 @@ def collect_sharded_hits(
         z = np.empty(0, dtype=np.int64)
         return z, z.copy()
     return np.concatenate(all_pos), np.concatenate(all_d)
+
+
+def sharded_hamming_search_mins(
+    mesh: Mesh,
+    shards,  # [D, S] uint8 haystack shards (zero-padded tail)
+    needle,  # [m] uint8
+    n_total,  # scalar int32: true haystack length
+    *,
+    needle_len: int,
+):
+    """SP Hamming search on the mesh: each device counts mismatches at its
+    own start positions after ONE ppermute pulls the right neighbor's
+    first needle_len chars (fixed-length windows partition start positions
+    exactly across shards — no dedup rule needed).  Returns (counts, mins)
+    with the lane layout of `ops.hamming_ops.hamming_search_block_mins`:
+    global start p at counts[p], block b's minimum at mins[b] — so the
+    single-device two-phase fetch + postprocess resolve them unchanged.
+    """
+    from ..ops.hamming_ops import BLOCK
+
+    D, S = shards.shape
+    m = needle_len
+    if S % BLOCK != 0 or m > S:
+        raise ValueError(f"shard size {S} must be a multiple of {BLOCK} "
+                         f"and >= needle_len {m}")
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    def step(shard_l, needle_l, n_l):
+        idx = lax.axis_index(DATA_AXIS)
+        ndev = lax.axis_size(DATA_AXIS)
+        head = shard_l[:, :m]
+        right = lax.ppermute(
+            head, DATA_AXIS, [(d, d - 1) for d in range(1, ndev)]
+        )
+        # the last device has no right neighbor: zero halo (positions
+        # whose window crosses n are sentinel-masked below anyway)
+        right = jnp.where(idx < ndev - 1, right, 0).astype(jnp.uint8)
+        local = jnp.concatenate(
+            [shard_l.reshape(-1).astype(jnp.uint8), right.reshape(-1)]
+        )
+
+        def body(j, acc):
+            shifted = lax.dynamic_slice_in_dim(local, j, S)
+            return acc + jnp.where(
+                shifted != needle_l[j], 1, 0
+            ).astype(jnp.int32)
+
+        counts = lax.fori_loop(0, m, body, jnp.zeros((S,), jnp.int32))
+        g = idx * S + jnp.arange(S, dtype=jnp.int32)
+        counts = jnp.where(
+            g <= n_l - m, counts, jnp.int32(m + 1 + (1 << 20))
+        )
+        mins = jnp.min(counts.reshape(-1, BLOCK), axis=1)
+        return counts, mins
+
+    shards = jax.device_put(
+        jnp.asarray(shards, jnp.uint8), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    needle = jax.device_put(
+        jnp.asarray(needle, jnp.uint8), NamedSharding(mesh, P())
+    )
+    n_total = jax.device_put(
+        jnp.asarray(n_total, jnp.int32), NamedSharding(mesh, P())
+    )
+    return step(shards, needle, n_total)
