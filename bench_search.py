@@ -93,14 +93,23 @@ def main():
     # its concatenate inside the timed region
     np.asarray(jnp.stack([run(nchar_d, seg_d) for _ in range(reps)]))
 
+    # steady-state best-of timing (see bench.py): the first blocks after a
+    # fresh remote Mosaic compile run depressed and ramp up over ~1-2 min;
+    # keep timing until the best block stops improving, with a wall cap
     best_dt = float("inf")
-    for _ in range(3):
+    stale = 0
+    t_loop = time.perf_counter()
+    while stale < 5 and time.perf_counter() - t_loop < 60.0:
         t0 = time.perf_counter()
         outs = [run(nchar_d, seg_d) for _ in range(reps)]
         host = np.asarray(jnp.stack(outs))
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dt0 = time.perf_counter() - t0
+        assert host.shape[0] == reps
+        if dt0 < best_dt * 0.995:
+            best_dt, stale = dt0, 0
+        else:
+            stale += 1
     dt = best_dt
-    assert host.shape[0] == reps
     gbps = N * reps / dt / 1e9
 
     # roofline check (utils/profiling.search_kernel_cost_estimate): the

@@ -1,0 +1,123 @@
+"""Variant profiler for the headline distance kernel (lev_myers).
+
+Times the production configuration against ablated kernels on the real
+chip to attribute where the time goes — the same method that found the
+search kernel's interleaved-chain win (benches/search_kernel_profile.py):
+
+* full         — production: Eq via packed compares + one MXU dot per row
+* chain_only   — Eq pipeline replaced by one cheap load (eq_mode knob):
+                 the serial bit chain + anchor + loop alone; the delta to
+                 `full` is the Eq pipeline's share (b loads, compares, dot)
+* un=4 / un=12 — rows-per-iteration unroll A/B at the production chains
+
+Workload matches bench.py (1000-byte pairs, k=32, MAX_M=1024) so numbers
+compare directly to the headline metric.  Each variant is a fresh Mosaic
+kernel: first use costs minutes of remote compile per process — this
+script is for attribution sessions, not CI.
+
+Usage:  PYTHONPATH=.:/root/.axon_site python benches/myers_distance_profile.py
+Env:    PROF_BATCH (default 98304), PROF_VARIANTS (comma list, default
+        "full,chain_only,un4"), PROF_CHAINS (default auto plan).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ta_tpu_jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    from triple_accel_tpu.ops.pallas.lev_myers import (
+        myers_chain_plan,
+        myers_device_pack,
+        myers_distance_pallas,
+        prepare_myers_inputs,
+    )
+
+    STR_LEN = 1000
+    K = 32
+    MAX_M = 1024
+    B = int(os.environ.get("PROF_BATCH", "98304"))
+    on_tpu = jax.default_backend() == "tpu"
+
+    rng = np.random.default_rng(1234)
+
+    def mutate(a, k):
+        b = a.copy()
+        idx = rng.permutation(len(a))[: rng.integers(k // 2, k + 1)]
+        b[idx] = 32
+        return b
+
+    a_list = [rng.integers(33, 127, STR_LEN).astype(np.uint8) for _ in range(B)]
+    b_list = [mutate(a, K // 2) for a in a_list]
+
+    *args, decode = prepare_myers_inputs(a_list, b_list, K, MAX_M)
+    CH = int(os.environ.get("PROF_CHAINS", "0")) or (
+        myers_chain_plan(K, MAX_M, args[2].shape[1]) if on_tpu else 1
+    )
+    args = [jax.device_put(x) for x in args]
+    args = list(myers_device_pack(*args, k=K, max_m=MAX_M, chains=CH))
+
+    variants = os.environ.get("PROF_VARIANTS", "full,chain_only,un4")
+
+    def cfg(name):
+        if name == "full":
+            return dict(un=8, eq_mode="dot")
+        if name == "chain_only":
+            return dict(un=8, eq_mode="chain_only")
+        if name.startswith("un"):
+            return dict(un=int(name[2:]), eq_mode="dot")
+        raise SystemExit(f"unknown variant {name}")
+
+    expected = None
+    results = {}
+    for name in variants.split(","):
+        kw = cfg(name)
+
+        def run():
+            return myers_distance_pallas(
+                *args, k=K, max_m=MAX_M, interpret=not on_tpu, chains=CH,
+                **kw,
+            )
+
+        t0 = time.perf_counter()
+        d = run()
+        host = decode(d)
+        print(f"# {name}: compile+first {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+        if kw["eq_mode"] == "dot":
+            if expected is None:
+                expected = host
+            else:
+                assert np.array_equal(host, expected), f"{name} mismatch"
+
+        reps = 8
+        np.asarray(jnp.stack([run() for _ in range(reps)]))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [run() for _ in range(reps)]
+            np.asarray(jnp.stack(outs))
+            best = min(best, time.perf_counter() - t0)
+        results[name] = B * reps / best
+        print(f"# {name}: {results[name]:,.0f} pairs/s", file=sys.stderr,
+              flush=True)
+
+    full = results.get("full")
+    for name, v in results.items():
+        extra = ""
+        if full and name != "full":
+            extra = f"  ({v / full:.2f}x of full)"
+        print(f"{name:12s} {v:>12,.0f} pairs/s{extra}", flush=True)
+    if full and "chain_only" in results:
+        share = 1 - full / results["chain_only"]
+        print(f"eq_pipeline_share ~= {share:.0%} of full runtime", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,7 +83,14 @@ def myers_plan(k: int):
     return NW, SG, G, WIN
 
 
-def _make_kernel(k: int, max_m: int, chains: int = 1):
+def _make_kernel(k: int, max_m: int, chains: int = 1, un: int = 8,
+                 eq_mode: str = "dot"):
+    # un / eq_mode are PROFILING knobs (benches/myers_distance_profile.py):
+    # un is the rows-per-iteration unroll (production default 8, measured
+    # best on v5e); eq_mode="chain_only" replaces the Eq pipeline (b loads,
+    # compares, MXU dot) with one cheap per-row load so the A/B isolates
+    # the serial bit chain's share.  Production dispatch always uses the
+    # defaults; chain_only is NOT a correct distance.
     NW, SG, G, WIN = myers_plan(k)
     Wp = NW * WORD  # padded window bits (extra top bits only widen the band)
     topw = NW - 1
@@ -208,6 +215,10 @@ def _make_kernel(k: int, max_m: int, chains: int = 1):
         ]
 
         def eq_for_row(q0, ph, c):
+            if eq_mode == "chain_only":
+                # profiling stand-in: one loop-variant load, no b loads /
+                # compares / dot — times the bit chain alone
+                return a_ref[pl.ds(c * G * MP4 + q0, 1), :] & maskw
             # row i with i-1 = 4*q0 + ph: char byte ph of packed row q0
             eqs = []
             for u in range(G):
@@ -270,7 +281,7 @@ def _make_kernel(k: int, max_m: int, chains: int = 1):
         # previous row's bit chain (MXU/VPU overlap).  Measured on v5e:
         # UN=2 +24%, UN=4 +40%, UN=8 +75% over no unroll; UN=16 regresses
         # slightly and quadruples compile time.
-        UN = 8
+        UN = un
         assert UN % 4 == 0
 
         def make_body(with_virtual: bool):
@@ -407,7 +418,8 @@ def myers_device_pack(
     return a_p, b_p, m, dlen, ukl
 
 
-@partial(jax.jit, static_argnames=("k", "max_m", "interpret", "chains"))
+@partial(jax.jit, static_argnames=("k", "max_m", "interpret", "chains",
+                                   "un", "eq_mode"))
 def myers_distance_pallas(
     a_t: jnp.ndarray,  # [CH*G*(max_m//4), B/G/CH] packed int32, or raw
     #                    [G, BG, max_m] uint8 (packed on device)
@@ -420,6 +432,8 @@ def myers_distance_pallas(
     max_m: int,
     interpret: bool = False,
     chains: int = 1,
+    un: int = 8,
+    eq_mode: str = "dot",
 ):
     """Bit-parallel banded unit-cost distance; returns dist [G, B/G] int32
     (pair p lives at [u, g*128+lane], p = (g*G + u)*128 + lane).
@@ -434,7 +448,8 @@ def myers_distance_pallas(
     bench shape.
     """
     CH = chains
-    kernel, G, WIN = _make_kernel(k, max_m, chains=CH)
+    kernel, G, WIN = _make_kernel(k, max_m, chains=CH, un=un,
+                                  eq_mode=eq_mode)
     MP4 = max_m // 4
     MB4 = (max_m + WIN) // 4
     # strings arrive as raw uint8 with 0-valued pads in ROW-major
