@@ -189,6 +189,30 @@ def test_levenshtein_k_batch_mesh_param():
         assert np.array_equal(got, ref), costs
 
 
+def test_levenshtein_exp_batch_mesh_param():
+    """exp_batch threads `mesh` into every k-doubling round (VERDICT r4
+    #8): results must be identical to the meshless call and exact."""
+    from triple_accel_tpu.levenshtein import levenshtein_exp_batch
+    from triple_accel_tpu.oracle import levenshtein_naive_with_opts
+
+    rng = np.random.default_rng(17)
+    mesh = make_mesh(jax.devices()[:4])
+    a_list, b_list = [], []
+    for _ in range(64):
+        ln = int(rng.integers(0, 80))
+        a = rng.integers(33, 127, ln).astype(np.uint8)
+        b = rng.integers(33, 127, int(rng.integers(0, 80))).astype(np.uint8)
+        a_list.append(a)
+        b_list.append(b)
+    got = levenshtein_exp_batch(a_list, b_list, mesh=mesh)
+    ref = levenshtein_exp_batch(a_list, b_list)
+    assert np.array_equal(got, ref)
+    for i in range(0, 64, 8):
+        assert got[i] == levenshtein_naive_with_opts(
+            a_list[i], b_list[i], False, LEVENSHTEIN_COSTS
+        )[0]
+
+
 @pytest.mark.parametrize("m,k,damerau", [(24, 5, False), (24, 5, True),
                                          (4, 4, False)])
 def test_sharded_myers_search_matches_unsharded(m, k, damerau):
