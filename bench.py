@@ -172,6 +172,18 @@ def main():
                 assert int(my[i]) == ref, f"myers comparator mismatch {i}"
 
     baseline = scalar_pairs_per_sec or py_pairs_per_sec
+    # roofline: the single-chain serial bit-chain issue floor (VERDICT r4
+    # #3; utils/profiling.distance_kernel_cost_estimate — the distance
+    # analog of bench_search.py's 15 GB/s floor).  Binding resource is
+    # VPU issue slots of the serial Myers chain, not HBM (~11 GB/s
+    # streamed at 5.5M pairs/s vs hundreds available).
+    from triple_accel_tpu.utils.profiling import distance_kernel_cost_estimate
+
+    roof = distance_kernel_cost_estimate(K, MAX_M)
+    roof_frac = (
+        tpu_pairs_per_sec / roof["ideal_pairs_per_sec"]
+        if roof["ideal_pairs_per_sec"] else 0.0
+    )
     result = {
         "metric": "levenshtein_banded_k32_len1000_pairs_per_sec_per_chip",
         "value": round(tpu_pairs_per_sec, 1),
@@ -180,6 +192,8 @@ def main():
         "baseline_kind": (
             "cpp_scalar_banded_O3" if scalar_pairs_per_sec else "python_oracle"
         ),
+        "roofline_pairs_per_sec": round(roof["ideal_pairs_per_sec"], 1),
+        "roofline_frac": round(roof_frac, 3),
     }
     if myers_cpu_pairs_per_sec:
         result["vs_cpu_bitparallel"] = round(
@@ -250,8 +264,11 @@ def main():
                     "metric", "value", "engine",
                     "distance_overhead_efficiency",
                     "search_overhead_efficiency",
+                    "dictionary_overhead_efficiency",
+                    "dictionary_needle_bytes_per_sec",
                     "distance_samples_sec",
                     "search_samples_sec",
+                    "dictionary_samples_sec",
                 )
                 if k in scaling
             }
@@ -261,6 +278,9 @@ def main():
         f"# device={jax.devices()[0]} batch={B} reps={reps} "
         f"chains={CHAINS} "
         f"pipelined={tpu_pairs_per_sec:.0f} pairs/s "
+        f"roofline={roof['ideal_pairs_per_sec']:.0f} pairs/s "
+        f"({roof_frac:.0%} of single-chain issue floor, "
+        f"ops/row={roof['ops_per_row']:.0f}) "
         f"sync={sync_pairs_per_sec:.0f} pairs/s "
         f"cpp_scalar={scalar_pairs_per_sec or 0:.0f} pairs/s "
         f"cpp_myers64={myers_cpu_pairs_per_sec or 0:.0f} pairs/s "

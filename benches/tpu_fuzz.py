@@ -383,5 +383,71 @@ for i in rng.integers(0, 8192, 24):
     elif got != exp:
         bad += 1; print(f"PACKED DIST i{i}: {got} != {exp}")
 print(f"packed chained distance fuzz done (chains={ch})")
+
+# 14. round-5 mesh x engine matrix COMPILED on chip (1-device mesh):
+# band_sharded (affine costs), flat_distance_sharded (wide-band long
+# pairs trigger it naturally: band_vmem_plan None + the time-model guard
+# picks flat), blocked sharded search (1700-char needle), and the
+# sharded dictionary resident pack — each must equal its meshless run.
+from triple_accel_tpu.dispatch import dispatch_history  # noqa: E402
+
+costs_aff = EditCosts(2, 1, 2, None)
+dispatch_history(clear=True)
+got_mesh = levenshtein_k_batch(ma, mb, 16, costs_aff, mesh=mesh1)
+paths14 = [d.path for _, d in dispatch_history()]
+got_plain = levenshtein_k_batch(ma, mb, 16, costs_aff)
+if "band_sharded" not in paths14:
+    bad += 1; print(f"MESH BAND path missing: {paths14}")
+if not np.array_equal(got_mesh, got_plain):
+    bad += 1; print(f"MESH BAND: {list(got_mesh[:6])} vs {list(got_plain[:6])}")
+
+fa = [rng.integers(65, 70, 2000).astype(np.uint8) for _ in range(256)]
+fb = []
+for x in fa:
+    y = x.copy(); y[rng.integers(0, 2000, 40)] = 65; fb.append(y)
+dispatch_history(clear=True)
+got_fm = levenshtein_k_batch(fa, fb, 4000, costs_aff, mesh=mesh1)
+paths14b = [d.path for _, d in dispatch_history()]
+got_fp = levenshtein_k_batch(fa, fb, 4000, costs_aff)
+if "flat_distance_sharded" not in paths14b:
+    bad += 1; print(f"MESH FLAT path missing: {paths14b}")
+if not np.array_equal(got_fm, got_fp):
+    bad += 1; print(f"MESH FLAT DIST: {list(got_fm[:4])} vs {list(got_fp[:4])}")
+for i in (0, 1):
+    ref = levenshtein_naive_k_with_opts(fa[i], fb[i], 4000, False, costs_aff)
+    if int(got_fm[i]) != ref[0]:
+        bad += 1; print(f"MESH FLAT DIST oracle i{i}: {got_fm[i]} vs {ref[0]}")
+
+m = 1700
+needle = rng.integers(65, 75, m).astype(np.uint8)
+hay = rng.integers(65, 75, 6000).astype(np.uint8)
+mut = needle.copy(); mut[rng.integers(0, m, 3)] = 65
+hay[2000:2000+m] = mut
+dispatch_history(clear=True)
+got_bs = levenshtein_search_sharded(needle, hay, 5, mesh1, SearchType.All)
+paths14c = [d.path for _, d in dispatch_history()]
+exp_bs = levenshtein_search_simd_with_opts(needle, hay, 5, SearchType.All)
+if "myers_search_blocked_sharded" not in paths14c:
+    bad += 1; print(f"MESH BLOCKED SEARCH path missing: {paths14c}")
+if got_bs != exp_bs:
+    bad += 1; print(f"MESH BLOCKED SEARCH: {got_bs[:3]} vs {exp_bs[:3]}")
+
+from triple_accel_tpu.levenshtein import (  # noqa: E402
+    PackedHaystack, levenshtein_search_many)
+
+dict_needles = [rng.integers(65, 70, 12).astype(np.uint8) for _ in range(3)]
+dhay = rng.integers(65, 70, 4096).astype(np.uint8)
+dhay[500:512] = dict_needles[0]
+packed1 = PackedHaystack(dhay)
+got_dm = levenshtein_search_many(dict_needles, packed1, 2, SearchType.All,
+                                 mesh=mesh1)
+got_dp = levenshtein_search_many(dict_needles, dhay, 2, SearchType.All)
+if got_dm != got_dp:
+    bad += 1; print(f"MESH DICT: {got_dm[0][:3]} vs {got_dp[0][:3]}")
+got_dm2 = levenshtein_search_many(dict_needles, packed1, 2, SearchType.All,
+                                  mesh=mesh1)  # resident-pack reuse
+if got_dm2 != got_dp:
+    bad += 1; print("MESH DICT reuse mismatch")
+print("round-5 mesh engine fuzz done")
 print(f"FINAL FUZZ TOTAL: {bad} mismatches")
 sys.exit(1 if bad else 0)

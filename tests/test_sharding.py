@@ -374,6 +374,270 @@ def test_sharded_search_multi_mb_realistic_halo():
     assert len(ends) == len(set(ends)), "owner-by-end dedup failed"
 
 
+# ---------------------------------------------------------------------------
+# Mesh x engine matrix (VERDICT r4 #2): every single-chip engine must run
+# per device through the public APIs, logged by name, exact vs oracle.
+# ---------------------------------------------------------------------------
+
+
+def _mesh_forced_pallas():
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def cm():
+        os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+        try:
+            yield
+        finally:
+            del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+    return cm()
+
+
+def test_k_batch_mesh_band_engine():
+    """Non-unit-cost batches on a mesh run the band kernel per device
+    (VERDICT r4 #2a) — mesh == meshless == oracle, dispatch logged."""
+    from triple_accel_tpu import EditCosts
+    from triple_accel_tpu.dispatch import dispatch_history
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+
+    rng = np.random.default_rng(21)
+    mesh = make_mesh(jax.devices()[:4])
+    costs = EditCosts(2, 1, 2, None)
+    a_list = [rng.integers(65, 91, int(rng.integers(0, 60))).astype(np.uint8)
+              for _ in range(50)]
+    b_list = [rng.integers(65, 91, int(rng.integers(0, 60))).astype(np.uint8)
+              for _ in range(50)]
+    with _mesh_forced_pallas():
+        dispatch_history(clear=True)
+        got = levenshtein_k_batch(a_list, b_list, 20, costs, mesh=mesh)
+        paths = [d.path for _, d in dispatch_history()]
+        ref = levenshtein_k_batch(a_list, b_list, 20, costs)
+    assert "band_sharded" in paths, paths
+    assert np.array_equal(got, ref)
+    for i in range(0, 50, 7):
+        r = levenshtein_naive_k_with_opts(a_list[i], b_list[i], 20, False,
+                                          costs)
+        assert int(got[i]) == (-1 if r is None else r[0]), i
+
+
+def test_k_batch_mesh_flat_engine():
+    """Wide-band non-unit batches past the band plans run flat_distance
+    per device (VERDICT r4 #2a): dispatch logs flat_distance_sharded and
+    results stay exact.  The engine guard is forced (its chip-calibrated
+    time model would send this tiny batch to the scan)."""
+    import importlib
+    from unittest import mock
+
+    from triple_accel_tpu import EditCosts
+    from triple_accel_tpu.dispatch import dispatch_history
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+
+    lb_mod = importlib.import_module("triple_accel_tpu.ops.pallas.lev_band")
+    lev_mod = importlib.import_module("triple_accel_tpu.levenshtein")
+    rng = np.random.default_rng(22)
+    mesh = make_mesh(jax.devices()[:4])
+    costs = EditCosts(2, 1, 2, None)
+    a_list = [rng.integers(65, 70, int(rng.integers(0, 50))).astype(np.uint8)
+              for _ in range(40)]
+    b_list = [rng.integers(65, 70, int(rng.integers(0, 60))).astype(np.uint8)
+              for _ in range(40)]
+    with mock.patch.object(lb_mod, "band_vmem_plan", lambda mm, uk: None), \
+         mock.patch.object(lev_mod, "_flat_beats_scan",
+                           lambda *a, **kw: True), \
+         _mesh_forced_pallas():
+        dispatch_history(clear=True)
+        got = levenshtein_k_batch(a_list, b_list, 150, costs, mesh=mesh)
+        paths = [d.path for _, d in dispatch_history()]
+    assert "flat_distance_sharded" in paths, paths
+    for i in range(40):
+        r = levenshtein_naive_k_with_opts(a_list[i], b_list[i], 150, False,
+                                          costs)
+        assert int(got[i]) == (-1 if r is None else r[0]), i
+
+
+def test_k_batch_mesh_blocked_engine():
+    """Unit-cost batches past every band plan run the chained blocked
+    Myers distance per device (VERDICT r4 #2a), including the m == 0
+    fixup lanes."""
+    import importlib
+    from unittest import mock
+
+    from triple_accel_tpu.dispatch import dispatch_history
+    from triple_accel_tpu.levenshtein import levenshtein_k_batch
+
+    lb_mod = importlib.import_module("triple_accel_tpu.ops.pallas.lev_band")
+    lm_mod = importlib.import_module("triple_accel_tpu.ops.pallas.lev_myers")
+    rng = np.random.default_rng(23)
+    mesh = make_mesh(jax.devices()[:4])
+    a_list = [rng.integers(65, 91, int(rng.integers(0, 60))).astype(np.uint8)
+              for _ in range(40)]
+    b_list = [rng.integers(65, 91, int(rng.integers(0, 60))).astype(np.uint8)
+              for _ in range(40)]
+    a_list[3] = np.empty(0, dtype=np.uint8)  # m == 0 fixup lane
+    with mock.patch.object(lb_mod, "band_vmem_plan", lambda mm, uk: None), \
+         mock.patch.object(lm_mod, "myers_plan", lambda kk: None), \
+         _mesh_forced_pallas():
+        dispatch_history(clear=True)
+        got = levenshtein_k_batch(a_list, b_list, 20, LEVENSHTEIN_COSTS,
+                                  mesh=mesh)
+        paths = [d.path for _, d in dispatch_history()]
+    assert "myers_blocked_sharded" in paths, paths
+    for i in range(40):
+        r = levenshtein_naive_k_with_opts(a_list[i], b_list[i], 20, False,
+                                          LEVENSHTEIN_COSTS)
+        assert int(got[i]) == (-1 if r is None else r[0]), i
+
+
+def test_search_sharded_flat_engine():
+    """General-cost sharded search runs the FLAT kernel per device with
+    on-device lengths (VERDICT r4 #2b) — both modes match the oracle and
+    the single-device search, boundary straddler included."""
+    from triple_accel_tpu import EditCosts
+    from triple_accel_tpu.dispatch import dispatch_history
+    from triple_accel_tpu.levenshtein import (
+        levenshtein_search_sharded,
+        levenshtein_search_simd_with_opts,
+    )
+
+    rng = np.random.default_rng(24)
+    mesh = make_mesh(jax.devices()[:4])
+    costs = EditCosts(2, 1, 2, None)
+    m, k = 10, 6
+    needle = rng.integers(65, 91, m).astype(np.uint8)
+    hay = rng.integers(65, 91, 1200).astype(np.uint8)
+    hay[300 - m // 2: 300 + m - m // 2] = needle
+    hay[20: 20 + m] = needle  # device-0 front region (gpos <= halo replay)
+    with _mesh_forced_pallas():
+        dispatch_history(clear=True)
+        for st in (SearchType.All, SearchType.Best):
+            got = levenshtein_search_sharded(needle, hay, k, mesh, st, costs)
+            ora = levenshtein_search_naive_with_opts(
+                needle, hay, k, st, costs, False
+            )
+            assert got == ora, st
+            ref = levenshtein_search_simd_with_opts(needle, hay, k, st,
+                                                    costs)
+            assert got == ref, st
+        paths = [d.path for _, d in dispatch_history()]
+    assert "flat_search_sharded" in paths, paths
+
+
+@pytest.mark.slowcompile
+def test_search_sharded_long_needle_blocked_engine():
+    """A 1700-char unit-cost needle on a mesh runs the BLOCKED Myers
+    kernel per device (VERDICT r4 #2b: needles past the 1280-char
+    subgroup budget must not fall to the scan)."""
+    from triple_accel_tpu.dispatch import dispatch_history
+    from triple_accel_tpu.levenshtein import (
+        levenshtein_search_sharded,
+        levenshtein_search_simd_with_opts,
+    )
+
+    rng = np.random.default_rng(25)
+    mesh = make_mesh(jax.devices()[:4])
+    m, k = 1700, 12
+    needle = rng.integers(65, 91, m).astype(np.uint8)
+    n = 4 * 2048 + 33
+    hay = rng.integers(65, 91, n).astype(np.uint8)
+    for pos in [40, 2048 - m // 2, n - m]:  # incl. a boundary straddler
+        mut = needle.copy()
+        mut[rng.integers(0, m, 5)] = 64
+        hay[pos: pos + m] = mut
+    with _mesh_forced_pallas():
+        dispatch_history(clear=True)
+        got = levenshtein_search_sharded(needle, hay, k, mesh,
+                                         SearchType.All)
+        paths = [d.path for _, d in dispatch_history()]
+        ref = levenshtein_search_simd_with_opts(needle, hay, k,
+                                                SearchType.All)
+    assert "myers_search_blocked_sharded" in paths, paths
+    assert got == ref
+    assert len(got) >= 3
+
+
+@pytest.mark.slowcompile
+def test_search_sharded_chunked_engine():
+    """With the blocked budget mocked away, sharded unit-cost search runs
+    the CHUNKED engine per device and stays exact (end-0 candidate and
+    owner-by-end included)."""
+    import importlib
+    from unittest import mock
+
+    from triple_accel_tpu.dispatch import dispatch_history
+    from triple_accel_tpu.levenshtein import (
+        levenshtein_search_sharded,
+        levenshtein_search_simd_with_opts,
+    )
+
+    sm = importlib.import_module("triple_accel_tpu.ops.pallas.search_myers")
+    rng = np.random.default_rng(26)
+    mesh = make_mesh(jax.devices()[:4])
+    m, k = 1400, 10
+    needle = rng.integers(65, 91, m).astype(np.uint8)
+    n = 4 * 2048 + 17
+    hay = rng.integers(65, 91, n).astype(np.uint8)
+    hay[2048 - m // 2: 2048 - m // 2 + m] = needle
+    with mock.patch.object(sm, "myers_halo_budget", lambda mm: 0), \
+         mock.patch.object(sm, "blocked_seg_budget", lambda: 0), \
+         _mesh_forced_pallas():
+        dispatch_history(clear=True)
+        got = levenshtein_search_sharded(needle, hay, k, mesh,
+                                         SearchType.All)
+        paths = [d.path for _, d in dispatch_history()]
+    assert "myers_search_chunked_sharded" in paths, paths
+    ref = levenshtein_search_naive_with_opts(
+        needle, hay, k, SearchType.All, LEVENSHTEIN_COSTS, False
+    )
+    assert got == ref
+
+
+def test_search_many_sharded_matches_meshless():
+    """Sharded dictionary serving (VERDICT r4 #4): levenshtein_search_many
+    with a mesh — resident sharded pack, needles broadcast, one
+    multi-needle launch per device — must equal the meshless call and the
+    oracle, across mixed needle lengths (two subgroup widths) and both
+    modes, with the PackedHaystack reused across calls."""
+    from triple_accel_tpu.dispatch import dispatch_history
+    from triple_accel_tpu.levenshtein import (
+        PackedHaystack,
+        levenshtein_search_many,
+    )
+
+    rng = np.random.default_rng(31)
+    mesh = make_mesh(jax.devices()[:4])
+    n = 4 * 1024 + 21
+    hay = rng.integers(65, 91, n).astype(np.uint8)
+    needles = [rng.integers(65, 91, ln).astype(np.uint8)
+               for ln in (8, 8, 30, 30, 8)]
+    # plant hits for several needles, one straddling a shard boundary
+    hay[100: 108] = needles[0]
+    hay[1024 - 4: 1024 + 4] = needles[1]
+    hay[2000: 2030] = needles[2]
+    k = 3
+    packed = PackedHaystack(hay)
+    with _mesh_forced_pallas():
+        for st in (SearchType.All, SearchType.Best):
+            dispatch_history(clear=True)
+            got = levenshtein_search_many(needles, packed, k, st,
+                                          mesh=mesh)
+            paths = [d.path for _, d in dispatch_history()]
+            assert "myers_search_many_sharded" in paths, paths
+            ref = levenshtein_search_many(needles, hay, k, st)
+            assert got == ref, st
+            for i in (0, 2):
+                ora = levenshtein_search_naive_with_opts(
+                    needles[i], hay, k, st, LEVENSHTEIN_COSTS, False
+                )
+                assert got[i] == ora, (st, i)
+        # second call on the same PackedHaystack: the sharded pack is
+        # memoized (resident serving) and results stay identical
+        got2 = levenshtein_search_many(needles, packed, k, SearchType.All,
+                                       mesh=mesh)
+        ref2 = levenshtein_search_many(needles, hay, k, SearchType.All)
+        assert got2 == ref2
+
+
 def test_hamming_search_sharded_matches_single_device():
     """SP Hamming search: fixed-length windows partition start positions
     exactly, so the sharded counts/minima share the single-device layout —

@@ -427,22 +427,37 @@ def _k_batch_on_mesh(
     mesh, swapped_a, swapped_b, feasible, max_ks,
     m_len, n_len, costs, uk_dev, max_m, use_pallas,
 ):
-    """Mesh execution of one levenshtein_k_batch bucket (DP over pairs).
-
-    Unit costs within the bit-parallel word budget run the PRODUCTION
-    Myers Pallas kernel per device (`parallel.sharded_myers_distance`);
-    everything else runs the sharded scan wavefront — exact for every
-    cost model, so `mesh=` never changes results, only placement.
+    """Mesh execution of one levenshtein_k_batch bucket (DP over pairs):
+    the FULL single-chip engine ladder, each engine running per device
+    via shard_map with the batch lane axis split (VERDICT r4 #2a) —
+    Myers -> blocked/chunked Myers -> band kernel -> flat matrix ->
+    scan.  Pairs are independent, so every path is zero-collective;
+    `mesh=` never changes results, only placement.
     """
     from .ops.pallas.lev_myers import myers_plan
     from .parallel.sharded import (
+        pad_batch_for_mesh,
         sharded_distance_step,
         sharded_myers_distance,
     )
 
     B = len(swapped_a)
     D = mesh.devices.size
-    k_stat = round_up_pow2(int(max_ks.max(initial=0)), 4)
+    interp = mesh.devices.flat[0].platform != "tpu"
+    max_k_int = int(max_ks.max(initial=0))
+    cost_bucket = select_cost_bucket(max_k_int)
+
+    def _log(path):
+        DispatchDecision(
+            path=path,
+            cost_bucket=cost_bucket,
+            unit_k=uk_dev,
+            max_k=max_k_int,
+            padded_m=max_m,
+            padded_n=B,
+        ).log("levenshtein_k_batch")
+
+    k_stat = round_up_pow2(max_k_int, 4)
     msplan = myers_plan(k_stat)
     myers_fits = (
         msplan is not None
@@ -454,17 +469,10 @@ def _k_batch_on_mesh(
         and _costs_tuple(costs) == (1, 1, 0, 0, False)
         and myers_fits
     )
-    DispatchDecision(
-        path="myers_sharded" if use_myers else "scan_sharded",
-        cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
-        unit_k=uk_dev,
-        max_k=int(max_ks.max(initial=0)),
-        padded_m=max_m,
-        padded_n=B,
-    ).log("levenshtein_k_batch")
     if use_myers:
         from .ops.pallas.lev_myers import prepare_myers_inputs
 
+        _log("myers_sharded")
         *margs, decode = prepare_myers_inputs(
             swapped_a, swapped_b, k_stat, max_m,
             ks=np.where(feasible, max_ks, k_stat), n_shards=D,
@@ -472,17 +480,121 @@ def _k_batch_on_mesh(
         # interpret follows the MESH devices (a CPU mesh under the axon
         # tunnel still has default_backend() == "tpu")
         distm = sharded_myers_distance(
-            mesh, *margs, k=k_stat, max_m=max_m,
-            interpret=mesh.devices.flat[0].platform != "tpu",
+            mesh, *margs, k=k_stat, max_m=max_m, interpret=interp,
         )
         out = decode(np.asarray(distm)).astype(np.int64)
         return np.where(feasible & (out <= max_ks), out, -1)
+
+    # pad the batch so the packed lane axis splits into >= 2 grid blocks
+    # of 128 lanes per device (padding pairs are empty, masked at the end)
+    _empty = np.empty(0, dtype=np.uint8)
+    B_pad = pad_batch_for_mesh(B, D)
+    padded_a = list(swapped_a) + [_empty] * (B_pad - B)
+    padded_b = list(swapped_b) + [_empty] * (B_pad - B)
+
+    from .ops.pallas.lev_band import band_vmem_plan
+
+    band_plan = band_vmem_plan(max_m, uk_dev) if use_pallas else None
+    unit_like = _costs_tuple(costs) in (
+        (1, 1, 0, 0, False), (1, 1, 0, 1, True)
+    )
+    if (
+        use_pallas and band_plan is None and unit_like
+        and forced_path() != "pallas_band"
+    ):
+        # unit/rdamerau past every band plan: chained blocked Myers
+        # distance per device (same engine the single chip runs here)
+        from .ops.pallas.myers_chunked import (
+            prepare_blocked_distance_inputs,
+        )
+        from .parallel.sharded import sharded_chunked_distance
+
+        _log("myers_blocked_sharded")
+        nchar, seg, m2, n2, n_strips, n_chunks = (
+            prepare_blocked_distance_inputs(padded_a, padded_b)
+        )
+        dist = np.asarray(
+            sharded_chunked_distance(
+                mesh, nchar, seg, m2, n2,
+                n_strips=n_strips, n_chunks=n_chunks,
+                damerau=costs.allow_transpose, interpret=interp,
+            )
+        )
+        out = dist[:B].astype(np.int64)
+        out = np.where(m_len == 0, n_len, out)
+        return np.where(feasible & (out <= max_ks), out, -1)
+
+    if use_pallas and band_plan is None and _flat_beats_scan(
+        B, swapped_a, swapped_b, uk_dev, max_m
+    ):
+        # general costs past the band plans: full-matrix flat distance
+        # kernel per device (guarded by the same measured time models as
+        # the single-chip dispatch)
+        from .ops.pallas.search_flat import prepare_flat_distance_inputs
+        from .parallel.sharded import sharded_flat_distance
+
+        _log("flat_distance_sharded")
+        b_rows, a_rows, m2, n2, njc, nic = prepare_flat_distance_inputs(
+            padded_a, padded_b
+        )
+        dist = np.asarray(
+            sharded_flat_distance(
+                mesh, b_rows, a_rows, m2, n2,
+                n_jchunks=njc, n_ichunks=nic,
+                costs_t=_costs_tuple(costs), interpret=interp,
+            )
+        )
+        out = dist[:B].astype(np.int64)
+        return np.where(feasible & (out <= max_ks), out, -1)
+
+    if use_pallas and band_plan is not None:
+        import os as _os
+
+        from .ops.pallas.lev_band import (
+            prepare_pallas_inputs,
+            prepare_tiled_inputs,
+            select_band_dtype,
+            suggest_strip,
+        )
+        from .parallel.sharded import sharded_band_distance
+
+        if interp or _os.environ.get("TRIPLE_ACCEL_TPU_NARROW_BAND") == "1":
+            band_dtype, _ = select_band_dtype(
+                max_k_int, uk_dev, _costs_tuple(costs)
+            )
+        else:
+            band_dtype = "int32"
+        _log("band_sharded" if band_plan == "untiled"
+             else "band_tiled_sharded")
+        if band_plan == "tiled":
+            strip = suggest_strip(uk_dev)
+            a_s, b_s, m2, n2, c_fin, n_strips = prepare_tiled_inputs(
+                padded_a, padded_b, uk_dev, strip
+            )
+            dist2 = sharded_band_distance(
+                mesh, a_s, b_s, m2, n2, c_fin,
+                unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
+                band_dtype=band_dtype, strip=strip, n_strips=n_strips,
+                interpret=interp,
+            )
+        else:
+            a_t, b_t, m2, n2, c_fin = prepare_pallas_inputs(
+                padded_a, padded_b, uk_dev, max_m
+            )
+            dist2 = sharded_band_distance(
+                mesh, a_t, b_t, m2, n2, c_fin,
+                unit_k=uk_dev, max_m=max_m, costs_t=_costs_tuple(costs),
+                band_dtype=band_dtype, interpret=interp,
+            )
+        out = np.asarray(dist2)[0, :B].astype(np.int64)
+        return np.where(feasible & (out <= max_ks), out, -1)
+
     from .ops.band_scan import prepare_band_inputs
 
-    # pad the batch to a multiple of the mesh so the batch axis shards
-    # evenly (padding pairs are empty and masked out below)
+    # scan fallback: pad the batch to a multiple of the mesh so the
+    # batch axis shards evenly
+    _log("scan_sharded")
     pad = (-B) % D
-    _empty = np.empty(0, dtype=np.uint8)
     a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(
         list(swapped_a) + [_empty] * pad,
         list(swapped_b) + [_empty] * pad,
@@ -632,6 +744,18 @@ def levenshtein_k_batch(
             mesh, swapped_a, swapped_b, feasible, max_ks,
             m_len, n_len, costs, uk_dev, max_m, use_pallas,
         )
+    if mesh is not None:
+        # traced batches run single-device (the traceback walk is
+        # host-decode dominated); say so in the dispatch log instead of
+        # silently dropping the mesh (VERDICT r4 #2c)
+        DispatchDecision(
+            path="trace_mesh_ignored",
+            cost_bucket=select_cost_bucket(int(max_ks.max(initial=0))),
+            unit_k=uk_dev,
+            max_k=int(max_ks.max(initial=0)),
+            padded_m=max_m,
+            padded_n=B,
+        ).log("levenshtein_k_batch")
 
     if trace_on:
 
@@ -1896,6 +2020,34 @@ class PackedHaystack:
             self._packs[key] = hit
         return hit
 
+    def pack_sharded(self, mesh, G: int, halo: int, own_len: int):
+        """Device-resident SHARDED segment pack (memoized per mesh +
+        configuration): the haystack splits into equal [D, S] shards, one
+        ppermute halo ring + windows + grouped transpose run per device
+        (`parallel.sharded_pack_segs`), and the [G*width, D*BG_l]
+        lane-device-sharded pack stays on the mesh — repeated sharded
+        dictionary calls pay no re-pack and no re-upload (VERDICT r4 #4).
+        Returns (seg_t, shard_size, num_local)."""
+        from .parallel.sharded import sharded_pack_segs
+
+        D = int(mesh.devices.size)
+        key = (tuple(d.id for d in mesh.devices.flat), G, halo, own_len)
+        hit = self._packs.get(key)
+        if hit is None:
+            n = len(self.haystack)
+            S = max(-(-(-(-n // D)) // own_len) * own_len,
+                    -(-halo // own_len) * own_len)
+            hay_pad = np.zeros(D * S, dtype=np.uint8)
+            hay_pad[:n] = self.haystack
+            width = -(-(halo + own_len + 1) // 8) * 8
+            seg_t = sharded_pack_segs(
+                mesh, hay_pad.reshape(D, S), halo=halo, own_len=own_len,
+                G=G, width=width,
+            )
+            hit = (seg_t, S, S // own_len)
+            self._packs[key] = hit
+        return hit
+
 
 def levenshtein_search_sharded(
     needle: BytesLike,
@@ -1917,27 +2069,44 @@ def levenshtein_search_sharded(
     never win.  Call `levenshtein_search_simd_with_opts(anchored=True)`
     on one device instead.
 
-    Unit-cost / rdamerau needles within the subgroup word budget run the
-    PRODUCTION bit-parallel Myers search kernel on every device: one
-    `lax.ppermute` hands each shard's tail to its right neighbor as the
-    halo, each device windows + transposes + scans its own shard on-chip
-    (`parallel.sharded_myers_search_mins`), and hits assemble host-side
-    under the owner-by-end rule (`parallel.collect_sharded_hits`) before
-    the usual batched oracle replay and Best/overlap postprocess.  Other
-    cost models (and needles past the 1280-char subgroup budget) run the
-    sharded scan wavefront (`parallel.sharded_search_step`), which tracks
-    lengths on device.
+    The full unanchored engine ladder runs per device (VERDICT r4 #2b),
+    every engine behind the same ring: one `lax.ppermute` hands each
+    shard's tail to its right neighbor as the halo, each device windows
+    + transposes + scans its own shard on-chip, and hits assemble
+    host-side under the owner-by-end rule
+    (`parallel.collect_sharded_hits`):
+
+    * unit-cost / rdamerau within the subgroup word budget — the
+      PRODUCTION bit-parallel Myers kernel
+      (`parallel.sharded_myers_search_mins`);
+    * unit-cost / rdamerau past it (needles > 1280 chars or oversized
+      halos) — the blocked / chunked Myers engines
+      (`parallel.sharded_blocked_search_mins` / `_chunked_`);
+    * every other cost model, any needle length — the FLAT row-oriented
+      kernel (`parallel.sharded_flat_search_mins`), lengths tracked on
+      device (the mesh analog of `_flat_search_dispatch`; the diagonal
+      search kernel has no mesh path — flat is exact everywhere and
+      needle-unbounded).
+
+    Only forcing the path off Pallas (or an empty haystack) falls to the
+    sharded scan wavefront (`parallel.sharded_search_step`).
     """
     from .ops.search_scan import window_span
     from .ops.pallas.search_myers import (
+        blocked_seg_budget,
         myers_halo_budget,
         myers_search_plan,
+        prepare_blocked_needles,
         prepare_myers_needles,
         suggest_own_len,
+        suggest_own_len_blocked,
     )
     from .parallel.sharded import (
         assemble_sharded_search,
         collect_sharded_hits,
+        sharded_blocked_search_mins,
+        sharded_chunked_search_mins,
+        sharded_flat_search_mins,
         sharded_myers_search_mins,
         sharded_search_step,
     )
@@ -1949,20 +2118,17 @@ def levenshtein_search_sharded(
         return _empty_needle_matches(n, k, search_type, costs, False)
     costs.check_search()
     D = int(mesh.devices.size)
+    interp = mesh.devices.flat[0].platform != "tpu"
     span = min(window_span(m, k, costs.gap_cost, costs.start_gap_cost), n)
     damerau = _costs_tuple(costs) == (1, 1, 0, 1, True)
     msplan = myers_search_plan(m)
     halo = min(-(-span // 256) * 256, n)
-    use_myers = (
-        _use_pallas()
-        and forced_path() != "pallas_band"
-        and (_costs_tuple(costs) == (1, 1, 0, 0, False) or damerau)
-        and msplan is not None
-        and halo <= myers_halo_budget(m)
-        and n > 0
+    use_pallas = (
+        _use_pallas() and forced_path() != "pallas_band" and n > 0
     )
-    if use_myers:
-        own_len = min(suggest_own_len(m, halo), round_up_pow2(max(n, 1), 128))
+    unit_like = _costs_tuple(costs) == (1, 1, 0, 0, False) or damerau
+
+    def _shards_for(own_len):
         # equal shards, each a multiple of own_len and >= halo (the
         # ppermuted tail must fit inside one shard); zero tail padding is
         # masked by limit_pos in the collect
@@ -1970,24 +2136,72 @@ def levenshtein_search_sharded(
                 -(-halo // own_len) * own_len)
         hay_pad = np.zeros(D * S, dtype=np.uint8)
         hay_pad[:n] = haystack
-        shards = hay_pad.reshape(D, S)
+        return hay_pad.reshape(D, S), S
+
+    def _log(path, S):
         DispatchDecision(
-            path="myers_search_sharded",
-            cost_bucket="u8",
+            path=path,
+            cost_bucket=("u8" if unit_like else
+                         select_cost_bucket(k if k < U32_MAX else U32_MAX)),
             unit_k=halo,
             max_k=k,
             padded_m=m,
             padded_n=S,
         ).log("levenshtein_search_sharded")
-        nchar = prepare_myers_needles([needle], m)
-        dist_d, mins_d = sharded_myers_search_mins(
-            mesh, shards, nchar, needle_len=m, halo=halo, own_len=own_len,
-            damerau=damerau,
-            interpret=mesh.devices.flat[0].platform != "tpu",
-        )
+
+    if use_pallas and unit_like:
+        # unit/rdamerau ladder: subgroup -> blocked -> chunked, exactly
+        # the single-chip engine selection, each per device
+        if msplan is not None and halo <= myers_halo_budget(m):
+            engine = "subgroup"
+        elif halo + 128 <= blocked_seg_budget():
+            engine = "blocked"
+        else:
+            engine = "chunked"
+        if engine == "subgroup":
+            own_len = min(suggest_own_len(m, halo),
+                          round_up_pow2(max(n, 1), 128))
+            shards, S = _shards_for(own_len)
+            _log("myers_search_sharded", S)
+            nchar = prepare_myers_needles([needle], m)
+            dist_d, mins_d = sharded_myers_search_mins(
+                mesh, shards, nchar, needle_len=m, halo=halo,
+                own_len=own_len, damerau=damerau, interpret=interp,
+            )
+            collect_kw = {}
+        elif engine == "blocked":
+            own_len = min(suggest_own_len_blocked(m, halo),
+                          round_up_pow2(max(n, 1), 128))
+            shards, S = _shards_for(own_len)
+            _log("myers_search_blocked_sharded", S)
+            nchar = prepare_blocked_needles([needle], m)
+            dist_d, mins_d = sharded_blocked_search_mins(
+                mesh, shards, nchar, needle_len=m, halo=halo,
+                own_len=own_len, damerau=damerau, interpret=interp,
+            )
+            seg_len = halo + own_len
+            collect_kw = {"G": 1, "OUT": -(-(seg_len + 1) // 8) * 8}
+        else:
+            from .ops.pallas.myers_chunked import (
+                TC,
+                prepare_chunked_needles,
+            )
+
+            own_len = min(round_up_pow2(max(n, 1), 128),
+                          max(4096, round_up_pow2(halo, 128)))
+            shards, S = _shards_for(own_len)
+            _log("myers_search_chunked_sharded", S)
+            nchar, n_strips = prepare_chunked_needles([needle], m)
+            dist_d, mins_d = sharded_chunked_search_mins(
+                mesh, shards, nchar, needle_len=m, n_strips=n_strips,
+                halo=halo, own_len=own_len, damerau=damerau,
+                interpret=interp,
+            )
+            n_chunks = max(-(-(halo + own_len) // TC), 1)
+            collect_kw = {"G": 1, "OUT": n_chunks * TC, "t_offset": 1}
         gpos, d_arr = collect_sharded_hits(
             dist_d, mins_d, D=D, k=k, needle_len=m, halo=halo,
-            own_len=own_len, shard_size=S, n_total=n,
+            own_len=own_len, shard_size=S, n_total=n, **collect_kw,
         )
         gpos, d_arr = _correct_chunk0_nul_hits(
             needle, haystack, gpos, d_arr, halo, k, costs, span
@@ -1997,7 +2211,56 @@ def levenshtein_search_sharded(
             gpos = gpos[d_arr == kmin]
         cands = _resolve_hits_batch(needle, haystack, gpos, k, costs, span)
         return _postprocess_sparse(cands, k, search_type)
-    # general costs / oversized needles: sharded scan wavefront
+
+    if use_pallas:
+        # general costs, any needle length: FLAT kernel per device with
+        # lengths tracked on device (mesh analog of _flat_search_dispatch)
+        from .ops.pallas import search_flat as _sf
+        from .ops.pallas.search_flat import prepare_flat_needle
+
+        own_len = min(round_up_pow2(max(n, 1), 128),
+                      max(4 * _sf.RJ, round_up_pow2(halo, 128)))
+        shards, S = _shards_for(own_len)
+        _log("flat_search_sharded", S)
+        nchar, nprev, _nic = prepare_flat_needle(needle, _sf.TI)
+        d_dev, l_dev, mins_d = sharded_flat_search_mins(
+            mesh, shards, nchar, nprev, needle_len=m, halo=halo,
+            own_len=own_len, costs_t=_costs_tuple(costs), interpret=interp,
+        )
+        n_jchunks = max(-(-(halo + own_len) // _sf.RJ), 1)
+        ends, dd, ll = collect_sharded_hits(
+            d_dev, mins_d, D=D, k=k, needle_len=m, halo=halo,
+            own_len=own_len, shard_size=S, n_total=n,
+            G=1, OUT=n_jchunks * _sf.RJ, t_offset=1, lens=l_dev,
+        )
+        # device 0's synthetic front pad can deflate general-cost hits at
+        # gpos <= halo (even NUL-free needles: a pad substitution at
+        # mc < gc beats the honest deletion) — oracle-replay those few,
+        # dropping artifacts, exactly as _flat_search_dispatch does
+        if ends.size:
+            fix = np.flatnonzero(ends <= halo)
+            if fix.size:
+                resolved = _resolve_hits_batch(
+                    needle, haystack, ends[fix], k, costs, span
+                )
+                by_end = {p: (d_, l_) for p, d_, l_ in resolved}
+                keep = np.ones(ends.size, dtype=bool)
+                for fi in fix:
+                    got = by_end.get(int(ends[fi]))
+                    if got is None:
+                        keep[fi] = False
+                    else:
+                        dd[fi], ll[fi] = got
+                ends, dd, ll = ends[keep], dd[keep], ll[keep]
+        if search_type == SearchType.Best and ends.size:
+            at_min = dd == dd.min()
+            ends, dd, ll = ends[at_min], dd[at_min], ll[at_min]
+        return _postprocess_sparse(
+            list(zip(ends.tolist(), dd.tolist(), ll.tolist())),
+            k, search_type,
+        )
+
+    # forced off Pallas (or empty haystack): sharded scan wavefront
     S = -(-n // D)
     if min(span, n) > S:
         raise ValueError(
@@ -2034,6 +2297,7 @@ def levenshtein_search_many(
     k: int,
     search_type: SearchType = SearchType.Best,
     costs: EditCosts = LEVENSHTEIN_COSTS,
+    mesh=None,
 ) -> List[List[Match]]:
     """Dictionary search: every needle against one haystack, unanchored.
 
@@ -2047,6 +2311,16 @@ def levenshtein_search_many(
 
     `haystack` may be a `PackedHaystack` to reuse the segmented device
     layout across calls (the repeated-serving fast path).
+
+    `mesh` (VERDICT r4 #4) serves the dictionary SHARDED: each device
+    holds its shard of the packed segments (`PackedHaystack.pack_sharded`
+    — built with the same ppermute halo ring as
+    `levenshtein_search_sharded`, resident across calls), needles
+    broadcast, and every same-length group still runs as ONE multi-needle
+    kernel launch per device; hits assemble per needle under the
+    owner-by-end rule.  Needle groups outside the shared-pack budget
+    route through `levenshtein_search_sharded` per needle.  Results are
+    identical to the meshless call.
     """
     import jax
 
@@ -2078,6 +2352,15 @@ def levenshtein_search_many(
         and (_costs_tuple(costs) == (1, 1, 0, 0, False) or damerau)
     )
 
+    def _single(i):
+        if mesh is not None:
+            return levenshtein_search_sharded(
+                needles[i], haystack, k, mesh, search_type, costs
+            )
+        return levenshtein_search_simd_with_opts(
+            needles[i], haystack, k, search_type, costs, False
+        )
+
     # group same-length needles into shared launches
     by_len: dict = {}
     for i, nd in enumerate(needles):
@@ -2099,9 +2382,7 @@ def levenshtein_search_many(
         msplan = myers_search_plan(m)
         if not (use_batched and msplan is not None and m > 0 and n > 0):
             for i in idxs:
-                results[i] = levenshtein_search_simd_with_opts(
-                    needles[i], haystack, k, search_type, costs, False
-                )
+                results[i] = _single(i)
             continue
         planned.append((m, idxs, msplan))
 
@@ -2121,9 +2402,7 @@ def levenshtein_search_many(
             # needles through the single-needle dispatcher, whose
             # blocked/chunked engines absorb any halo
             for i in idxs:
-                results[i] = levenshtein_search_simd_with_opts(
-                    needles[i], haystack, k, search_type, costs, False
-                )
+                results[i] = _single(i)
             continue
         if G not in pack_cache:
             own = min(suggest_own_len(m, halo), round_up_pow2(n, 128))
@@ -2132,49 +2411,73 @@ def levenshtein_search_many(
                 # once for ALL needle-length groups (device-side repacks
                 # per G are device->device)
                 packed = PackedHaystack(haystack)
-            dev, C_ = packed.pack(G, halo, own)
-            pack_cache[G] = (dev, C_, own)
-        seg_t, C, own_len = pack_cache[G]
+            if mesh is not None:
+                dev, S_, C_ = packed.pack_sharded(mesh, G, halo, own)
+            else:
+                dev, C_ = packed.pack(G, halo, own)
+                S_ = None
+            pack_cache[G] = (dev, C_, own, S_)
+        seg_t, C, own_len, S_sh = pack_cache[G]
         seg_len = halo + own_len
         nchar = prepare_myers_needles([needles[i] for i in idxs], m)
         width = seg_t.shape[0] // G
         NUM = len(idxs)
         DispatchDecision(
-            path="myers_search_many",
+            path=("myers_search_many_sharded" if mesh is not None
+                  else "myers_search_many"),
             cost_bucket="u8",
             unit_k=halo,
             max_k=k,
             padded_m=m,
             padded_n=NUM,
         ).log("levenshtein_search_many")
-        dist_d, mins_d = myers_search_block_mins(
-            jax.device_put(nchar),
-            seg_t,  # already a committed device array (pack_cache)
-            needle_len=m,
-            width=width,
-            seg_len=seg_len,
-            anchored=False,
-            num_needles=NUM,
-            interpret=jax.default_backend() != "tpu",
-            damerau=damerau,
-        )
-        # raw padded kernel layout (pad rows hold a 2^30 sentinel)
-        OUT = -(-(seg_len + 1) // 8) * 8
-        mins = np.asarray(mins_d)
-        rb, cols = np.nonzero(mins <= k)
-        ni_a = gpos_a = d_a = np.empty(0, dtype=np.int64)
-        if rb.size:
-            pad_n = round_up_pow2(rb.size, 8)
-            rb_p = np.empty(pad_n, np.int32)
-            cols_p = np.empty(pad_n, np.int32)
-            rb_p[: rb.size], rb_p[rb.size :] = rb, rb[-1]
-            cols_p[: cols.size], cols_p[cols.size :] = cols, cols[-1]
-            blocks = np.asarray(myers_gather_blocks(dist_d, rb_p, cols_p))
-            ni_a, gpos_a, d_a = collect_hits(
-                blocks, rb, cols, k,
-                OUT=OUT, G=G, C=C, halo=halo, own_len=own_len,
-                limit_pos=n, num_needles=NUM,
+        if mesh is not None:
+            from .parallel.sharded import (
+                collect_sharded_hits,
+                sharded_myers_search_mins_packed,
             )
+
+            dist_d, mins_d = sharded_myers_search_mins_packed(
+                mesh, seg_t, nchar, needle_len=m, width=width,
+                seg_len=seg_len, num_needles=NUM, damerau=damerau,
+                interpret=mesh.devices.flat[0].platform != "tpu",
+            )
+            ni_a, gpos_a, d_a = collect_sharded_hits(
+                dist_d, mins_d, D=int(mesh.devices.size), k=k,
+                needle_len=m, halo=halo, own_len=own_len,
+                shard_size=S_sh, n_total=n, num_needles=NUM,
+            )
+        else:
+            dist_d, mins_d = myers_search_block_mins(
+                jax.device_put(nchar),
+                seg_t,  # already a committed device array (pack_cache)
+                needle_len=m,
+                width=width,
+                seg_len=seg_len,
+                anchored=False,
+                num_needles=NUM,
+                interpret=jax.default_backend() != "tpu",
+                damerau=damerau,
+            )
+            # raw padded kernel layout (pad rows hold a 2^30 sentinel)
+            OUT = -(-(seg_len + 1) // 8) * 8
+            mins = np.asarray(mins_d)
+            rb, cols = np.nonzero(mins <= k)
+            ni_a = gpos_a = d_a = np.empty(0, dtype=np.int64)
+            if rb.size:
+                pad_n = round_up_pow2(rb.size, 8)
+                rb_p = np.empty(pad_n, np.int32)
+                cols_p = np.empty(pad_n, np.int32)
+                rb_p[: rb.size], rb_p[rb.size :] = rb, rb[-1]
+                cols_p[: cols.size], cols_p[cols.size :] = cols, cols[-1]
+                blocks = np.asarray(
+                    myers_gather_blocks(dist_d, rb_p, cols_p)
+                )
+                ni_a, gpos_a, d_a = collect_hits(
+                    blocks, rb, cols, k,
+                    OUT=OUT, G=G, C=C, halo=halo, own_len=own_len,
+                    limit_pos=n, num_needles=NUM,
+                )
         span = min(window_span(m, k, costs.gap_cost, costs.start_gap_cost), n)
         from .utils.native import native_available
 

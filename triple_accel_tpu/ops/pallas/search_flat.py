@@ -52,6 +52,7 @@ __all__ = [
     "flat_search",
     "flat_search_mins",
     "flat_search_mins_from_hay",
+    "windows_to_seg_lead",
     "flat_search_gather_selected",
     "flat_distance",
     "prepare_flat_needle",
@@ -418,6 +419,20 @@ def prepare_flat_needle(needle: np.ndarray, ti: int = TI):
     return nchar, nprev, n_ichunks
 
 
+def windows_to_seg_lead(win, num: int, rj: int = RJ):
+    """[num, width0] device windows -> flat_search's lead-padded
+    transposed [2 + n_jchunks*rj + 8, C] layout (lane-padded to >= 2
+    grid blocks).  Shared by the from_hay wrapper and the sharded-
+    haystack path (parallel.sharded, which windows with a real ppermuted
+    front halo).  Returns (seg_lead, C, n_jchunks)."""
+    width0 = win.shape[1]
+    C = max(_round_up(max(num, 1), LANES), 2 * LANES)
+    n_jchunks = max(-(-width0 // rj), 1)
+    core = jnp.pad(win, ((0, C - num), (0, 0))).T  # [width0, C]
+    seg_lead = jnp.pad(core, ((2, n_jchunks * rj + 8 - width0), (0, 0)))
+    return seg_lead, C, n_jchunks
+
+
 @partial(
     jax.jit,
     static_argnames=("needle_len", "halo", "own_len", "num", "costs_t",
@@ -433,11 +448,7 @@ def flat_search_mins_from_hay(
     from .search_myers import device_windows
 
     win = device_windows(hay, halo=halo, own_len=own_len, num=num)
-    width0 = halo + own_len
-    C = max(_round_up(max(num, 1), LANES), 2 * LANES)
-    n_jchunks = max(-(-width0 // rj), 1)
-    core = jnp.pad(win, ((0, C - num), (0, 0))).T  # [width0, C]
-    seg_lead = jnp.pad(core, ((2, n_jchunks * rj + 8 - width0), (0, 0)))
+    seg_lead, _, n_jchunks = windows_to_seg_lead(win, num, rj)
     n_ichunks = nchar.shape[0] // ti
     return flat_search_mins(
         seg_lead, nchar, nprev, needle_len=needle_len,

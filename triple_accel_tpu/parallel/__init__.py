@@ -17,8 +17,17 @@ from .sharded import (
     assemble_sharded_search,
     collect_sharded_hits,
     match_count_psum,
+    pad_batch_for_mesh,
+    sharded_band_distance,
+    sharded_blocked_search_mins,
+    sharded_chunked_distance,
+    sharded_chunked_search_mins,
     sharded_distance_step,
+    sharded_flat_distance,
+    sharded_flat_search_mins,
     sharded_myers_distance,
+    sharded_myers_search_mins_packed,
+    sharded_pack_segs,
     sharded_hamming_search_mins,
     sharded_myers_search_mins,
     sharded_search_step,
@@ -32,8 +41,17 @@ __all__ = [
     "assemble_sharded_search",
     "collect_sharded_hits",
     "match_count_psum",
+    "pad_batch_for_mesh",
+    "sharded_band_distance",
+    "sharded_blocked_search_mins",
+    "sharded_chunked_distance",
+    "sharded_chunked_search_mins",
     "sharded_distance_step",
+    "sharded_flat_distance",
+    "sharded_flat_search_mins",
     "sharded_myers_distance",
+    "sharded_myers_search_mins_packed",
+    "sharded_pack_segs",
     "sharded_hamming_search_mins",
     "sharded_myers_search_mins",
     "sharded_search_step",

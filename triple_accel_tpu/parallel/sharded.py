@@ -37,7 +37,16 @@ __all__ = [
     "sharded_myers_distance",
     "sharded_myers_search_mins",
     "sharded_hamming_search_mins",
+    "sharded_band_distance",
+    "sharded_chunked_distance",
+    "sharded_flat_distance",
+    "sharded_blocked_search_mins",
+    "sharded_chunked_search_mins",
+    "sharded_flat_search_mins",
+    "sharded_pack_segs",
+    "sharded_myers_search_mins_packed",
     "collect_sharded_hits",
+    "pad_batch_for_mesh",
 ]
 
 
@@ -266,6 +275,462 @@ def sharded_myers_distance(
     return step(a_t, b_t, m, dlen, ukl)
 
 
+_LANES = 128  # vreg lane count (ops.pallas.*.LANES)
+
+
+def pad_batch_for_mesh(B0: int, D: int) -> int:
+    """Smallest padded pair-batch length that splits into D equal lane
+    blocks, each a multiple of 128 lanes and >= 2 grid blocks (256 — this
+    Mosaic runtime faults the TPU worker on single-step grids).  Pad the
+    batch LIST to this length (empty pairs) before the prepare_* packers:
+    each packer rounds to max(roundup(B, 128), 256), of which this value
+    is a fixed point, so the packed lane axis shards evenly."""
+    per = max(-(-(-(-B0 // D)) // _LANES) * _LANES, 2 * _LANES)
+    return D * per
+
+
+def _check_lane_split(B: int, D: int):
+    if B % (D * _LANES) != 0 or B // D < 2 * _LANES:
+        raise ValueError(
+            f"batch lane axis {B} must split into >= 2 grid blocks of "
+            f"128 lanes per device (D={D}); pad the batch to "
+            f"pad_batch_for_mesh(B, D) pairs before packing"
+        )
+
+
+def sharded_band_distance(
+    mesh: Mesh,
+    a_t,  # untiled: [B, max_m] uint8 row-major (prepare_pallas_inputs);
+    #       tiled: [n_strips*HA, B] uint8 strips (prepare_tiled_inputs)
+    b_t,  # untiled: [B, max_m+W] uint8; tiled: [n_strips*HB, B]
+    m,  # [1, B] int32
+    n,  # [1, B] int32
+    c_fin,  # [1, B] int32
+    *,
+    unit_k: int,
+    max_m: int,
+    costs_t: Tuple[int, int, int, int, bool],
+    band_dtype: str = "int32",
+    strip: int | None = None,
+    n_strips: int | None = None,
+    interpret: bool = False,
+):
+    """DP over the mesh with the general-cost band wavefront kernel: the
+    [B] pair lane axis splits across devices and each device runs
+    `band_distance_pallas` (or the row-strip tiled variant when
+    strip/n_strips are given) on its own block — zero collectives on the
+    hot path, exactly the single-chip kernel per chip (VERDICT r4 #2a).
+
+    Pad the batch to ``pad_batch_for_mesh(B0, D)`` pairs before packing
+    so the lane axis shards evenly.  Returns dist [1, B] int32.
+    """
+    from ..ops.pallas.lev_band import (
+        band_distance_pallas,
+        band_distance_pallas_tiled,
+    )
+
+    D = mesh.devices.size
+    B = m.shape[1]
+    _check_lane_split(B, D)
+    tiled = strip is not None
+    rows_spec = P(None, DATA_AXIS) if tiled else P(DATA_AXIS, None)
+    spec2 = P(None, DATA_AXIS)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rows_spec, rows_spec, spec2, spec2, spec2),
+        out_specs=spec2,
+        check_vma=False,
+    )
+    def step(a_l, b_l, m_l, n_l, c_l):
+        if tiled:
+            return band_distance_pallas_tiled(
+                a_l, b_l, m_l, n_l, c_l, unit_k=unit_k, strip=strip,
+                n_strips=n_strips, costs_t=costs_t,
+                band_dtype=band_dtype, interpret=interpret,
+            )
+        return band_distance_pallas(
+            a_l, b_l, m_l, n_l, c_l, unit_k=unit_k, max_m=max_m,
+            costs_t=costs_t, band_dtype=band_dtype, interpret=interpret,
+        )
+
+    rows_sh = NamedSharding(mesh, rows_spec)
+    sh2 = NamedSharding(mesh, spec2)
+    return step(
+        jax.device_put(jnp.asarray(a_t), rows_sh),
+        jax.device_put(jnp.asarray(b_t), rows_sh),
+        jax.device_put(jnp.asarray(m), sh2),
+        jax.device_put(jnp.asarray(n), sh2),
+        jax.device_put(jnp.asarray(c_fin), sh2),
+    )
+
+
+def sharded_chunked_distance(
+    mesh: Mesh,
+    nchar,  # [B, n_strips*SW*WORD] uint8 row-major needle chars
+    seg,  # [B, n_chunks*TC] uint8 row-major text chars
+    m_row,  # [1, B] int32
+    n_row,  # [1, B] int32
+    *,
+    n_strips: int,
+    n_chunks: int,
+    damerau: bool = False,
+    interpret: bool = False,
+):
+    """DP over the mesh with the chained blocked Myers distance kernel
+    (unit/rdamerau costs, ANY pair length — the band_vmem_plan-is-None
+    regime): lane axis device-split, `blocked_distance_chunked` per
+    device (VERDICT r4 #2a).  Layouts are
+    prepare_blocked_distance_inputs' upload buffers; pad the batch to
+    ``pad_batch_for_mesh`` first.  Returns dist [B] int32 (lanes with
+    m == 0 return 0 — callers fix up with dist = n, as single-chip).
+    """
+    from ..ops.pallas.myers_chunked import blocked_distance_chunked
+
+    D = mesh.devices.size
+    B = m_row.shape[1]
+    _check_lane_split(B, D)
+    rows = P(DATA_AXIS, None)
+    spec2 = P(None, DATA_AXIS)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rows, rows, spec2, spec2),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    def step(nc_l, seg_l, m_l, n_l):
+        return blocked_distance_chunked(
+            nc_l, seg_l, m_l, n_l, n_strips=n_strips, n_chunks=n_chunks,
+            damerau=damerau, interpret=interpret,
+        )
+
+    rows_sh = NamedSharding(mesh, rows)
+    sh2 = NamedSharding(mesh, spec2)
+    return step(
+        jax.device_put(jnp.asarray(nchar), rows_sh),
+        jax.device_put(jnp.asarray(seg), rows_sh),
+        jax.device_put(jnp.asarray(m_row), sh2),
+        jax.device_put(jnp.asarray(n_row), sh2),
+    )
+
+
+def sharded_flat_distance(
+    mesh: Mesh,
+    b_rows,  # [C, n_max] uint8 row-major b chars
+    a_rows,  # [C, m_max] uint8 row-major a chars
+    m,  # [C] int32
+    n,  # [C] int32
+    *,
+    n_jchunks: int,
+    n_ichunks: int,
+    costs_t: Tuple[int, int, int, int, bool],
+    interpret: bool = False,
+):
+    """DP over the mesh with the full-matrix flat distance kernel (general
+    costs past the band kernels' VMEM plans): lane axis device-split,
+    `flat_distance` per device (VERDICT r4 #2a).  Layouts are
+    prepare_flat_distance_inputs' buffers; pad the batch to
+    ``pad_batch_for_mesh`` first.  Returns dist [C] int32.
+    """
+    from ..ops.pallas.search_flat import flat_distance
+
+    D = mesh.devices.size
+    C = m.shape[0]
+    _check_lane_split(C, D)
+    rows = P(DATA_AXIS, None)
+    vec = P(DATA_AXIS)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rows, rows, vec, vec),
+        out_specs=vec,
+        check_vma=False,
+    )
+    def step(b_l, a_l, m_l, n_l):
+        return flat_distance(
+            b_l, a_l, m_l, n_l, n_jchunks=n_jchunks, n_ichunks=n_ichunks,
+            costs_t=costs_t, interpret=interpret,
+        )
+
+    rows_sh = NamedSharding(mesh, rows)
+    vec_sh = NamedSharding(mesh, vec)
+    return step(
+        jax.device_put(jnp.asarray(b_rows), rows_sh),
+        jax.device_put(jnp.asarray(a_rows), rows_sh),
+        jax.device_put(jnp.asarray(m), vec_sh),
+        jax.device_put(jnp.asarray(n), vec_sh),
+    )
+
+
+def _left_halo_windows(shard_l, S: int, halo: int, own_len: int,
+                       num_local: int):
+    """Inside a shard_map step: one ``lax.ppermute`` hands this shard's
+    last `halo` chars to the right neighbor, then the device windows
+    (left halo | own shard) with chunk_raw semantics.  Device 0's front
+    halo is synthetic zeros — byte-exact with the single-device
+    `chunk_raw` convention (its hits at gpos <= halo are corrected
+    downstream exactly as single-chip chunk 0's are)."""
+    from ..ops.pallas.search_myers import device_windows
+
+    idx = lax.axis_index(DATA_AXIS)
+    ndev = lax.axis_size(DATA_AXIS)
+    if halo > 0:
+        tail = shard_l[:, S - halo:]
+        left = lax.ppermute(
+            tail, DATA_AXIS, [(d, (d + 1) % ndev) for d in range(ndev)]
+        )
+        left = jnp.where(idx > 0, left, 0).reshape(-1).astype(jnp.uint8)
+    else:
+        left = None
+    return device_windows(
+        shard_l.reshape(-1), halo=halo, own_len=own_len, num=num_local,
+        front=left,
+    )
+
+
+def _check_shard(S: int, own_len: int, halo: int):
+    if S % own_len != 0:
+        raise ValueError(f"shard size {S} must be a multiple of {own_len}")
+    if halo > S:
+        raise ValueError(f"halo ({halo}) must be <= shard size ({S})")
+
+
+def sharded_blocked_search_mins(
+    mesh: Mesh,
+    shards,  # [D, S] uint8 haystack shards (zero-padded tail)
+    nchar,  # needle pack (prepare_blocked_needles)
+    *,
+    needle_len: int,
+    halo: int,
+    own_len: int,
+    damerau: bool = False,
+    interpret: bool = False,
+):
+    """SP sharded-haystack search on the BLOCKED Myers kernel (unit/
+    rdamerau needles past the subgroup word budget, VERDICT r4 #2b) —
+    same ring/halo pattern as `sharded_myers_search_mins`, G = 1 row
+    layout.  Returns (dist, mins) lane-device-sharded; decode with
+    `collect_sharded_hits(..., G=1, OUT=roundup(seg_len+1, 8))`.
+    """
+    from ..ops.pallas.search_myers import (
+        blocked_search_block_mins,
+        device_grouped_transpose,
+    )
+
+    D, S = shards.shape
+    _check_shard(S, own_len, halo)
+    num_local = S // own_len
+    seg_len = halo + own_len
+    width = -(-(seg_len + 1) // 8) * 8
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False,
+    )
+    def step(shard_l, nchar_l):
+        win = _left_halo_windows(shard_l, S, halo, own_len, num_local)
+        seg_t = device_grouped_transpose(win, 1, width)
+        return blocked_search_block_mins(
+            nchar_l, seg_t, needle_len=needle_len, width=width,
+            seg_len=seg_len, interpret=interpret, damerau=damerau,
+        )
+
+    shards = jax.device_put(
+        jnp.asarray(shards, jnp.uint8), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    nchar = jax.device_put(jnp.asarray(nchar), NamedSharding(mesh, P()))
+    return step(shards, nchar)
+
+
+def sharded_chunked_search_mins(
+    mesh: Mesh,
+    shards,  # [D, S] uint8 haystack shards (zero-padded tail)
+    nchar,  # needle pack (prepare_chunked_needles)
+    *,
+    needle_len: int,
+    n_strips: int,
+    halo: int,
+    own_len: int,
+    damerau: bool = False,
+    interpret: bool = False,
+):
+    """SP sharded-haystack search on the CHUNKED (chained-launch) Myers
+    kernel — unit/rdamerau needles of ANY length, any halo (VERDICT r4
+    #2b).  Returns (dist, mins) lane-device-sharded in the chunked
+    layout (row r holds D[r+1]); decode with
+    `collect_sharded_hits(..., G=1, OUT=n_chunks*TC, t_offset=1)`.
+    """
+    from ..ops.pallas.myers_chunked import TC, blocked_search_chunked_mins
+    from ..ops.pallas.search_myers import device_grouped_transpose
+
+    D, S = shards.shape
+    _check_shard(S, own_len, halo)
+    num_local = S // own_len
+    seg_len = halo + own_len
+    n_chunks = max(-(-seg_len // TC), 1)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False,
+    )
+    def step(shard_l, nchar_l):
+        win = _left_halo_windows(shard_l, S, halo, own_len, num_local)
+        seg = device_grouped_transpose(win, 1, n_chunks * TC)
+        return blocked_search_chunked_mins(
+            nchar_l, seg, needle_len=needle_len, n_strips=n_strips,
+            n_chunks=n_chunks, damerau=damerau, interpret=interpret,
+        )
+
+    shards = jax.device_put(
+        jnp.asarray(shards, jnp.uint8), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    nchar = jax.device_put(jnp.asarray(nchar), NamedSharding(mesh, P()))
+    return step(shards, nchar)
+
+
+def sharded_flat_search_mins(
+    mesh: Mesh,
+    shards,  # [D, S] uint8 haystack shards (zero-padded tail)
+    nchar,  # lane-replicated needle rows (prepare_flat_needle)
+    nprev,
+    *,
+    needle_len: int,
+    halo: int,
+    own_len: int,
+    costs_t: Tuple[int, int, int, int, bool],
+    interpret: bool = False,
+):
+    """SP sharded-haystack search on the FLAT row-oriented kernel — ANY
+    cost model, ANY needle length, lengths tracked on device (VERDICT r4
+    #2b).  Returns (d, l, mins) lane-device-sharded in the flat layout
+    (row q holds position q+1); decode with
+    `collect_sharded_hits(..., G=1, OUT=n_jchunks*RJ, t_offset=1,
+    lens=l)`.
+    """
+    from ..ops.pallas.search_flat import (
+        RJ,
+        TI,
+        flat_search_mins,
+        windows_to_seg_lead,
+    )
+
+    D, S = shards.shape
+    _check_shard(S, own_len, halo)
+    num_local = S // own_len
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(), P()),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS),
+                   P(None, DATA_AXIS)),
+        check_vma=False,
+    )
+    def step(shard_l, nchar_l, nprev_l):
+        win = _left_halo_windows(shard_l, S, halo, own_len, num_local)
+        seg_lead, _, n_jchunks = windows_to_seg_lead(win, num_local, RJ)
+        return flat_search_mins(
+            seg_lead, nchar_l, nprev_l, needle_len=needle_len,
+            n_jchunks=n_jchunks, n_ichunks=nchar.shape[0] // TI,
+            costs_t=costs_t, interpret=interpret,
+        )
+
+    shards = jax.device_put(
+        jnp.asarray(shards, jnp.uint8), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    rep = NamedSharding(mesh, P())
+    return step(
+        shards,
+        jax.device_put(jnp.asarray(nchar), rep),
+        jax.device_put(jnp.asarray(nprev), rep),
+    )
+
+
+def sharded_pack_segs(
+    mesh: Mesh,
+    shards,  # [D, S] uint8 haystack shards (zero-padded tail)
+    *,
+    halo: int,
+    own_len: int,
+    G: int,
+    width: int,
+):
+    """Device-RESIDENT sharded segment pack for repeated dictionary
+    serving (the mesh analog of `search_myers.device_pack_segs`): one
+    ppermute halo ring + windows + grouped transpose per device, output
+    [G*width, D*BG_l] lane-device-sharded and kept on device — repeated
+    `sharded_myers_search_mins_packed` calls then pay no re-pack and no
+    re-upload (VERDICT r4 #4)."""
+    from ..ops.pallas.search_myers import device_grouped_transpose
+
+    D, S = shards.shape
+    _check_shard(S, own_len, halo)
+    num_local = S // own_len
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None),),
+        out_specs=P(None, DATA_AXIS),
+        check_vma=False,
+    )
+    def build(shard_l):
+        win = _left_halo_windows(shard_l, S, halo, own_len, num_local)
+        return device_grouped_transpose(win, G, width)
+
+    shards = jax.device_put(
+        jnp.asarray(shards, jnp.uint8), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    return jax.jit(build)(shards)
+
+
+def sharded_myers_search_mins_packed(
+    mesh: Mesh,
+    seg_t,  # [G*width, D*BG_l] device-resident sharded pack
+    nchar,  # needle pack (prepare_myers_needles), any num_needles
+    *,
+    needle_len: int,
+    width: int,
+    seg_len: int,
+    num_needles: int = 1,
+    damerau: bool = False,
+    interpret: bool = False,
+):
+    """Multi-needle subgroup Myers search over a RESIDENT sharded pack
+    (`sharded_pack_segs`): needles broadcast, each device scans its own
+    shard's segments — the sharded dictionary-serving hot path.  Returns
+    (dist, mins) lane-device-sharded; decode with
+    `collect_sharded_hits(..., num_needles=NUM)`."""
+    from ..ops.pallas.search_myers import myers_search_block_mins
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS), P()),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False,
+    )
+    def step(seg_l, nchar_l):
+        return myers_search_block_mins(
+            nchar_l, seg_l, needle_len=needle_len, width=width,
+            seg_len=seg_len, num_needles=num_needles,
+            interpret=interpret, damerau=damerau,
+        )
+
+    nchar = jax.device_put(jnp.asarray(nchar), NamedSharding(mesh, P()))
+    return step(seg_t, nchar)
+
+
 def sharded_myers_search_mins(
     mesh: Mesh,
     shards,  # [D, S] uint8 haystack shards (zero-padded tail)
@@ -293,16 +758,12 @@ def sharded_myers_search_mins(
     """
     from ..ops.pallas.search_myers import (
         device_grouped_transpose,
-        device_windows,
         myers_search_block_mins,
         myers_search_plan,
     )
 
     D, S = shards.shape
-    if S % own_len != 0:
-        raise ValueError(f"shard size {S} must be a multiple of {own_len}")
-    if halo > S:
-        raise ValueError(f"halo ({halo}) must be <= shard size ({S})")
+    _check_shard(S, own_len, halo)
     num_local = S // own_len
     G = myers_search_plan(needle_len)[2]
     seg_len = halo + own_len
@@ -316,22 +777,7 @@ def sharded_myers_search_mins(
         check_vma=False,
     )
     def step(shard_l, nchar_l):
-        idx = lax.axis_index(DATA_AXIS)
-        ndev = lax.axis_size(DATA_AXIS)
-        if halo > 0:
-            tail = shard_l[:, S - halo:]
-            left = lax.ppermute(
-                tail, DATA_AXIS, [(d, (d + 1) % ndev) for d in range(ndev)]
-            )
-            # device 0 has no left neighbor: zero halo = chunk_raw's
-            # synthetic front pad
-            left = jnp.where(idx > 0, left, 0).reshape(-1).astype(jnp.uint8)
-        else:
-            left = None
-        win = device_windows(
-            shard_l.reshape(-1), halo=halo, own_len=own_len,
-            num=num_local, front=left,
-        )
+        win = _left_halo_windows(shard_l, S, halo, own_len, num_local)
         seg_t = device_grouped_transpose(win, G, width)
         return myers_search_block_mins(
             nchar_l, seg_t, needle_len=needle_len, width=width,
@@ -356,14 +802,27 @@ def collect_sharded_hits(
     own_len: int,
     shard_size: int,
     n_total: int,
+    G: int | None = None,
+    OUT: int | None = None,
+    t_offset: int = 0,
+    lens=None,  # optional [R, D*BG_l] lengths (flat engine)
+    num_needles: int = 1,
 ):
-    """Owner-by-end assembly of the sharded search kernel's hits.
+    """Owner-by-end assembly of the sharded search kernels' hits.
 
     Per device: two-phase fetch (block minima first, then only candidate
     blocks via `myers_gather_blocks`), then `collect_hits` with the
     device's local segment count and ``own_pos0`` only on device 0 —
     a shard's position 0 is its left neighbor's last owned position.
-    Returns (gpos, d) int64 arrays sorted by global end position.
+
+    Default G/OUT decode the subgroup Myers packed-step layout; the
+    blocked engine passes G=1, OUT=roundup(seg_len+1, 8), the chunked
+    engine G=1, OUT=n_chunks*TC, t_offset=1, and the flat engine G=1,
+    OUT=n_jchunks*RJ, t_offset=1 with `lens` for its on-device lengths.
+    Returns (gpos, d) int64 arrays sorted by global end position, plus a
+    lengths array when `lens` is given.  With ``num_needles > 1`` (the
+    sharded dictionary path) a leading needle-index array is returned
+    and rows sort by (needle, end position).
     """
     from ..ops.pallas.search_myers import (
         collect_hits,
@@ -371,13 +830,15 @@ def collect_sharded_hits(
         myers_search_plan,
     )
 
-    G = myers_search_plan(needle_len)[2]
-    seg_len = halo + own_len
-    OUT = -(-(seg_len + 1) // 8) * 8
+    if G is None:
+        G = myers_search_plan(needle_len)[2]
+    if OUT is None:
+        seg_len = halo + own_len
+        OUT = -(-(seg_len + 1) // 8) * 8
     num_local = shard_size // own_len
     mins_h = np.asarray(mins)
     BG_l = mins_h.shape[1] // D
-    all_pos, all_d = [], []
+    all_ni, all_pos, all_d, all_l = [], [], [], []
     for d in range(D):
         lo_col = d * BG_l
         sub = mins_h[:, lo_col : lo_col + BG_l]
@@ -392,19 +853,41 @@ def collect_sharded_hits(
             cols + lo_col, cols[-1] + lo_col,
         )
         blocks = np.asarray(myers_gather_blocks(dist, rb_p, cols_p))
-        _, gpos, d_arr = collect_hits(
+        lblk = (np.asarray(myers_gather_blocks(lens, rb_p, cols_p))
+                if lens is not None else None)
+        res = collect_hits(
             blocks, rb, cols, k,
             OUT=OUT, G=G, C=num_local, halo=halo, own_len=own_len,
             limit_pos=min(shard_size, n_total - d * shard_size),
-            own_pos0=(d == 0),
+            own_pos0=(d == 0), t_offset=t_offset, lblocks=lblk,
+            num_needles=num_needles,
         )
+        ni, gpos, d_arr = res[0], res[1], res[2]
         if gpos.size:
+            all_ni.append(ni)
             all_pos.append(gpos + d * shard_size)
             all_d.append(d_arr)
+            if lens is not None:
+                all_l.append(res[3])
     if not all_pos:
         z = np.empty(0, dtype=np.int64)
-        return z, z.copy()
-    return np.concatenate(all_pos), np.concatenate(all_d)
+        outs = [z, z.copy()]
+    else:
+        ni_c = np.concatenate(all_ni)
+        pos_c = np.concatenate(all_pos)
+        d_c = np.concatenate(all_d)
+        order = np.lexsort((pos_c, ni_c))
+        outs = [pos_c[order], d_c[order]]
+        if num_needles > 1:
+            outs.insert(0, ni_c[order])
+        if lens is not None:
+            outs.append(np.concatenate(all_l)[order])
+        return tuple(outs)
+    if num_needles > 1:
+        outs.insert(0, z.copy())
+    if lens is not None:
+        outs.append(z.copy())
+    return tuple(outs)
 
 
 def sharded_hamming_search_mins(

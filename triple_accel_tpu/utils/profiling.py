@@ -23,6 +23,7 @@ __all__ = [
     "trace",
     "Throughput",
     "kernel_cost_estimate",
+    "distance_kernel_cost_estimate",
     "search_kernel_cost_estimate",
 ]
 
@@ -104,6 +105,62 @@ def kernel_cost_estimate(
     return {
         "ideal_seconds": ideal_seconds,
         "ideal_pairs_per_sec": batch / ideal_seconds if ideal_seconds else 0.0,
+    }
+
+
+def distance_kernel_cost_estimate(
+    k: int,
+    max_m: int,
+    clock_hz: float = 0.94e9,
+) -> Dict[str, float]:
+    """Roofline for the bit-parallel Myers DISTANCE kernel
+    (ops/pallas/lev_myers.py) — the headline engine's single-chain serial
+    bit-chain issue floor, the distance analog of
+    `search_kernel_cost_estimate` (VERDICT r4 #3).
+
+    Per DP row, one chain block issues a sequential run of full-vreg VPU
+    ops (the Myers recurrence over NW packed words on SG sublanes); each
+    such op advances G*128 pairs by one row, and a pair needs max_m rows:
+
+        ideal_pairs_per_sec = G * 128 * clock / (ops_per_row * max_m).
+
+    ops_per_row counts the bit chain's VPU ops from the kernel text
+    (`_make_kernel.step`): two shr1 + two shl1 (5 ops each + 2 when
+    SG > 1 for the sublane roll+select), one multi-word add (4 ops + 3
+    for the NW = 2 carry, + ~4 per Kogge-Stone doubling past that), and
+    ~20 fixed ops (anchor maintenance, Xh/X/Pv/Mv/Ph/Mh combines, the
+    at-m latch).  The Eq pipeline (b loads, compares, the MXU dot) and
+    the stores overlap this chain — the UN=8 row unroll exists exactly
+    to let the compiler hide them — so the chain is the floor; like the
+    search floor, it models ONE chain, and interleaved chains (the
+    production chains=4 plan) claw back the chain's own issue stalls, so
+    fractions approach 1 from below without a hardware contradiction.
+
+    HBM is NOT the binding resource at headline shapes: the packed
+    layout streams ~2 bytes per DP row per pair (a + b at 4 chars/int32),
+    ~11 GB/s at the measured 5.5M pairs/s — two orders under the chip's
+    HBM bandwidth.  bench.py reports measured/ideal as roofline_frac so
+    the headline is judged against speed-of-light, not history.
+    """
+    from ..ops.pallas.lev_myers import myers_plan
+
+    plan = myers_plan(k)
+    if plan is None:
+        return {"ideal_pairs_per_sec": 0.0, "ops_per_row": 0.0,
+                "pair_blocks": 0.0}
+    NW, SG, G, _WIN = plan
+    shift = 5 + (2 if SG > 1 else 0)  # shr1 / shl1
+    add = 4 + (3 if NW > 1 else 0)
+    d = 2
+    while d < NW:  # Kogge-Stone doublings past the first carry
+        add += 4
+        d <<= 1
+    ops_per_row = 4 * shift + add + 20
+    ideal = G * 128 * clock_hz / (ops_per_row * max_m)
+    return {
+        "ideal_pairs_per_sec": ideal,
+        "ops_per_row": float(ops_per_row),
+        "pair_blocks": float(G),
     }
 
 
