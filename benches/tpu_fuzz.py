@@ -449,5 +449,31 @@ got_dm2 = levenshtein_search_many(dict_needles, packed1, 2, SearchType.All,
 if got_dm2 != got_dp:
     bad += 1; print("MESH DICT reuse mismatch")
 print("round-5 mesh engine fuzz done")
+
+# 15. BANDED flat distance COMPILED on chip (round-5 column-strip
+# tiling): 20000-char pairs at uk=2048 activate the band window (21
+# tiles vs 79) — banded must equal the full-matrix kernel lane-for-lane
+# and the oracle on spot pairs
+from triple_accel_tpu.ops.pallas.search_flat import (  # noqa: E402
+    flat_distance, prepare_flat_distance_inputs)
+
+ga = [rng.integers(65, 70, 20000).astype(np.uint8) for _ in range(128)]
+gb = []
+for x in ga:
+    y = x.copy(); y[rng.integers(0, 20000, 30)] = 71; gb.append(y)
+b_rows, a_rows, fm, fn, njc, nic = prepare_flat_distance_inputs(ga, gb)
+kwf = dict(n_jchunks=njc, n_ichunks=nic, costs_t=(2, 1, 2, 0, False))
+d_band = np.asarray(flat_distance(b_rows, a_rows, fm, fn, unit_k=2048,
+                                  **kwf))
+d_full = np.asarray(flat_distance(b_rows, a_rows, fm, fn, **kwf))
+if not np.array_equal(d_band[:128], d_full[:128]):
+    w = np.nonzero(d_band[:128] != d_full[:128])[0]
+    bad += 1; print(f"BANDED FLAT vs full: {w.size} lanes differ {w[:5]}")
+for i in (0, 1):
+    ref = levenshtein_naive_k_with_opts(ga[i], gb[i], 4000, False,
+                                        EditCosts(2, 1, 2, None))
+    if int(d_band[i]) != ref[0]:
+        bad += 1; print(f"BANDED FLAT oracle i{i}: {d_band[i]} vs {ref[0]}")
+print("banded flat distance fuzz done")
 print(f"FINAL FUZZ TOTAL: {bad} mismatches")
 sys.exit(1 if bad else 0)

@@ -66,6 +66,7 @@ def test_blocked_distance_multi_strip_chunk(damerau):
     _run(pairs, damerau)
 
 
+@pytest.mark.slowcompile
 def test_wide_band_routes_to_blocked_distance():
     """levenshtein() on a long dissimilar pair (unit_k > 4095, the former
     scan cliff) dispatches to the chunked kernel and stays exact (C++

@@ -393,6 +393,71 @@ def test_flat_distance_matches_oracle(costs):
         assert int(d[i]) == ref, (i, len(a), len(b), costs)
 
 
+@pytest.mark.parametrize("costs", [LEVENSHTEIN_COSTS,
+                                   EditCosts(2, 1, 2, None),
+                                   EditCosts(1, 1, 0, 1)])
+@pytest.mark.slowcompile
+def test_flat_distance_banded_matches_oracle(costs):
+    """BANDED column-strip flat distance (VERDICT r4 #6): with unit_k
+    set, each column launch processes only the band's TI-tiles behind a
+    rolling edge window.  Small rj/ti at 600-char pairs force bt << nic
+    (9 vs 38 tiles) and many window slides; results must equal the
+    unbanded kernel and the oracle for every within-threshold pair, and
+    saturate above the threshold for distant pairs."""
+    from triple_accel_tpu.ops.pallas.search_flat import flat_distance
+
+    ct = (costs.mismatch_cost, costs.gap_cost, costs.start_gap_cost,
+          costs.transpose_cost_or_zero, costs.allow_transpose)
+    rng = np.random.default_rng(hash(ct) % 2**31 + 5)
+    rj, ti = 64, 16
+    uk = 32
+    C, L = 128, 600
+    a_rows = np.zeros((C, L), np.uint8)
+    b_rows = np.zeros((C, L), np.uint8)
+    m = np.zeros(C, np.int32)
+    n = np.zeros(C, np.int32)
+    pairs = []
+    for i in range(C):
+        la = int(rng.integers(L - 40, L - 10))  # headroom for insertions
+        a = rng.integers(65, 70, la).astype(np.uint8)
+        if i % 16 == 15:
+            b = rng.integers(65, 70, la).astype(np.uint8)  # distant pair
+        else:
+            b = list(a)
+            for _ in range(int(rng.integers(0, 11))):
+                op = rng.integers(0, 3)
+                if op == 0:
+                    b[rng.integers(0, len(b))] = rng.integers(65, 70)
+                elif op == 1 and len(b) > 1:
+                    del b[rng.integers(0, len(b))]
+                else:
+                    b.insert(int(rng.integers(0, len(b) + 1)),
+                             int(rng.integers(65, 70)))
+            b = np.array(b, np.uint8)
+        a_rows[i, :la] = a
+        b_rows[i, :len(b)] = b
+        m[i], n[i] = la, len(b)
+        pairs.append((a, b))
+    kw = dict(n_jchunks=-(-L // rj), n_ichunks=-(-L // ti),
+              costs_t=ct, interpret=True, rj=rj, ti=ti)
+    d_banded = np.asarray(flat_distance(b_rows, a_rows, m, n,
+                                        unit_k=uk, **kw))
+    d_full = np.asarray(flat_distance(b_rows, a_rows, m, n, **kw))
+    # the threshold the uk-band certifies: a path within it has at most
+    # uk gaps of either type (see _flat_beats_scan's derivation)
+    thresh = uk * costs.gap_cost + costs.start_gap_cost
+    checked_exact = checked_sat = 0
+    for i, (a, b) in enumerate(pairs):
+        ref = levenshtein_naive_with_opts(a, b, False, costs)[0]
+        if ref <= thresh:
+            assert int(d_banded[i]) == ref == int(d_full[i]), (i, costs)
+            checked_exact += 1
+        else:
+            assert int(d_banded[i]) >= ref, (i, costs)
+            checked_sat += 1
+    assert checked_exact >= 64 and checked_sat >= 4
+
+
 def test_flat_distance_dispatch_wide_band():
     """When band_vmem_plan returns None for non-unit costs and the engine
     guard picks the full matrix, the dispatcher must route through
@@ -459,19 +524,24 @@ def test_flat_guard_falls_to_scan():
         levenshtein_k_batch,
     )
 
-    # guard math at the extremes: a pathological long-pair batch exceeds
-    # the absolute cells cap (2e5-char pairs -> ~1e13-cell program, vs
-    # ~4 s banded) and a modest-band long-pair batch loses on time...
+    # guard math at the extremes (banded-flat model since round 5): a
+    # pathological long-pair batch still exceeds the absolute cells cap
+    # even banded (200K-char pairs at uk=2048 -> 2.8e11 banded cells);
+    # a LARGE wide-lane batch loses on time (the scan's per-step floor
+    # amortizes over 4096 lanes while flat pays every banded cell)...
     long_pair = [np.zeros(200_000, np.uint8)] * 2
     assert not _flat_beats_scan(2, long_pair, long_pair, 2048, 262144)
-    mid_pair = [np.zeros(30_000, np.uint8)] * 8
-    assert not _flat_beats_scan(8, mid_pair, mid_pair, 1024, 32768)
+    big_batch = [np.zeros(4000, np.uint8)] * 4096
+    assert not _flat_beats_scan(4096, big_batch, big_batch, 1024, 4096)
     # ...while the benched 4000x4000 full-band batch stays on flat (the
-    # shape measured at 123 ms flat vs ~250 ms modeled scan), and its
-    # program is nowhere near the cap
+    # shape measured at 123 ms flat vs ~250 ms modeled scan), and a
+    # long-pair modest-band batch now WINS on flat thanks to the banded
+    # column-strip tiling (O((m+n)*band) cells, VERDICT r4 #6)
     wide = [np.zeros(4000, np.uint8)] * 256
     assert _flat_beats_scan(256, wide, wide, 4096, 4096)
     assert 256 * 4096 * 4096 < _FLAT_CELLS_CAP
+    banded_win = [np.zeros(100_000, np.uint8)] * 8
+    assert _flat_beats_scan(8, banded_win, banded_win, 512, 100352)
 
     rng = np.random.default_rng(12)
     costs = EditCosts(2, 1, 2, None)

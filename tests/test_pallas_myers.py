@@ -75,6 +75,7 @@ def test_myers_kernel_matches_oracle(k, max_m):
     (2, 8, 64, 8192), (2, 32, 64, 4096), (2, 130, 48, 1024),
     (4, 8, 16, 8192), (1, 32, 64, 4096),
 ])
+@pytest.mark.slowcompile
 def test_myers_packed_prepack_and_chains(k, max_m, B, chains):
     """The packed int32 layout (myers_device_pack; bench.py hoists it out
     of its timed loop) fed back to the wrapper must be bit-identical to
@@ -116,6 +117,7 @@ def test_myers_plan_limits():
     assert myers_plan(160) is None  # falls back to the general band kernel
 
 
+@pytest.mark.slowcompile
 def test_myers_empty_and_edge_pairs():
     cases = [
         (b"", b""),
@@ -324,6 +326,7 @@ def test_search_raw_packed_layout_and_sentinels(m, tiled):
 @pytest.mark.parametrize("ch", [2])
 @pytest.mark.parametrize("tiled", [False, True])
 @pytest.mark.parametrize("m", [9, 24, 200])  # G = 8, 4, 1 regimes
+@pytest.mark.slowcompile
 def test_search_chained_matches_single_chain(m, tiled, ch):
     """chains=2 (independent segment blocks advanced per grid step
     with interleaved bit chains; the dispatcher picks up to 4 for big
@@ -457,6 +460,7 @@ def test_long_strings_route_past_vmem_guards():
 
 
 @pytest.mark.parametrize("search_type_name", ["Best", "All"])
+@pytest.mark.slowcompile
 def test_search_many_matches_per_needle_api(search_type_name):
     """Dictionary search: every needle's result must equal the per-needle
     API (mixed lengths -> multiple shared launches + fallbacks)."""

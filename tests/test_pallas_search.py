@@ -181,6 +181,7 @@ def test_dense_all_mode_single_device_pass():
     assert len(got) > 30_000  # genuinely dense
 
 
+@pytest.mark.slowcompile
 def test_dense_over_budget_resolves_on_device():
     """When the merged replay intervals exceed _RESOLVE_CELLS_BUDGET, the
     hits must resolve through the flat kernel over hit-bearing segments
@@ -214,6 +215,7 @@ def test_dense_over_budget_resolves_on_device():
     assert len(got) > 4_000  # genuinely dense
 
 
+@pytest.mark.slowcompile
 def test_dense_over_budget_resolves_on_device_search_many():
     """Same degenerate-dense guarantee for the dictionary path."""
     import importlib
@@ -239,6 +241,7 @@ def test_dense_over_budget_resolves_on_device_search_many():
         assert got[i] == ref, i
 
 
+@pytest.mark.slowcompile
 def test_flat_resolve_nul_needle_front_pad():
     """NUL bytes in the needle can match segment 0's synthetic zero-pad
     front halo: the flat-resolve path must oracle-correct positions
@@ -312,6 +315,7 @@ def test_rdamerau_myers_search():
         assert got == ref, needle
 
 
+@pytest.mark.slowcompile
 def test_anchored_myers_dispatch():
     """Anchored unit/rdamerau searches route through the Myers engines as
     a single anchored segment (VERDICT r2 item 6): dispatch log proves the
@@ -477,6 +481,7 @@ def test_chunked_search_engine(damerau):
         sm.myers_halo_budget, sm.blocked_seg_budget = saved
 
 
+@pytest.mark.slowcompile
 def test_flat_engine_small_tiles():
     """The flat row-oriented engine (general costs, unbounded needles)
     vs the oracle with shrunken tiles (rj/ti are jit-static, so small
@@ -508,6 +513,7 @@ def test_flat_engine_small_tiles():
             assert got == ref, (m, n, k, st, costs)
 
 
+@pytest.mark.slowcompile
 def test_flat_engine_long_needle_routing():
     """A 1200-char needle with affine costs routes to the flat engine
     through the public API (the old path fell to lax.scan) and matches

@@ -489,6 +489,7 @@ def test_k_batch_mesh_blocked_engine():
         assert int(got[i]) == (-1 if r is None else r[0]), i
 
 
+@pytest.mark.slowcompile
 def test_search_sharded_flat_engine():
     """General-cost sharded search runs the FLAT kernel per device with
     on-device lengths (VERDICT r4 #2b) — both modes match the oracle and

@@ -530,13 +530,18 @@ def _make_flat_dist_kernel(costs_t, rj: int, ti: int):
     inf = int(INF)
     RJ, TI = rj, ti
 
-    def kernel(seg_ref, nchar_ref, nprev_ref, j0_ref, mrow_ref,
+    def kernel(seg_ref, nchar_ref, nprev_ref, j0_ref, i0_ref, mrow_ref,
                einD_ref, einD2_ref, einNG_ref,
                eoutD_ref, eoutD2_ref, eoutNG_ref, outd_ref,
                dprev_s, dprev2_s, vg_s, cross_s, res_s):
         # seg_ref: [RJ+8, LANES] b chars (2-row lead), lane = pair
         # nchar/nprev: [TI, LANES] PER-LANE a[i-1] / a[i-2] rows
         # j0_ref: [1, LANES] this launch's global column offset (cj*RJ)
+        # i0_ref: [1, LANES] this launch's global needle-row offset
+        #   (t0*TI; 0 = anchored top — BANDED launches enter mid-matrix
+        #   with the row above the band treated as INF, exact for every
+        #   within-threshold pair because a <= max_k path never leaves
+        #   the |i-j| <= unit_k band)
         # mrow_ref: [1, LANES] per-lane len(a): row m latches the result
         # ein/eout: [TI, LANES] edge blocks (D, D at col-2, open chain)
         # outd: [RJ, LANES] D[m_lane][j] rows (valid at each lane's m)
@@ -548,6 +553,7 @@ def _make_flat_dist_kernel(costs_t, rj: int, ti: int):
         hj1 = seg_ref[2 : RJ + 2, :]
         hj2 = seg_ref[1 : RJ + 1, :]
         j0 = j0_ref[0:1, :]
+        i0 = i0_ref[0:1, :]
         m_row = mrow_ref[0:1, :]
 
         def sat(x):
@@ -555,15 +561,27 @@ def _make_flat_dist_kernel(costs_t, rj: int, ti: int):
 
         @pl.when(ci == 0)
         def _init():
-            # anchored row 0: D[0][j] = j*gc + sgc (j = j0 + jrow + 1 >= 1)
-            dprev_s[...] = sat((j0 + jrow + 1) * gc + sgc)
+            # anchored top (i0 == 0): row 0 boundary D[0][j] = j*gc + sgc
+            # (j = j0 + jrow + 1 >= 1); banded entry (i0 > 0): the row
+            # above the band is out-of-band for every column of this
+            # chunk -> INF
+            top = i0 == 0
+            dprev_s[...] = jnp.where(
+                top, sat((j0 + jrow + 1) * gc + sgc), inf_t
+            )
             dprev2_s[...] = inf_t
             vg_s[...] = inf_t
             # cross rows: row 0 / row -1 edges at columns j0 and j0 - 1
-            e1D = jnp.where(j0 > 0, sat(j0 * gc + sgc), zero_r)
+            e1D = jnp.where(
+                top, jnp.where(j0 > 0, sat(j0 * gc + sgc), zero_r), inf_r
+            )
             e1D2 = jnp.where(
-                j0 > 1, sat((j0 - 1) * gc + sgc),
-                jnp.where(j0 == 1, zero_r, inf_r),
+                top,
+                jnp.where(
+                    j0 > 1, sat((j0 - 1) * gc + sgc),
+                    jnp.where(j0 == 1, zero_r, inf_r),
+                ),
+                inf_r,
             )
             cross_s[...] = jnp.concatenate(
                 [e1D, e1D2, inf_r, inf_r, inf_r, inf_r, inf_r, inf_r],
@@ -614,16 +632,19 @@ def _make_flat_dist_kernel(costs_t, rj: int, ti: int):
             eoutD2_ref[pl.ds(r, 1), :] = d[last - 1 : last, :]
             eoutNG_ref[pl.ds(r, 1), :] = chainc[last : last + 1, :]
 
-            i_glob = ci * TI + r + 1
+            i_glob = i0 + ci * TI + r + 1
             res = jnp.where(m_row == i_glob, d, res)
             # promote edges: e1 <- this row's, e2 <- old e1
             return (d, dprev, vg2, res, eD, eD2, e1D, e1D2)
 
         @pl.when(ci == 0)
         def _res0():
-            # m = 0 lanes: D[0][j] is the boundary row itself
+            # m = 0 lanes: D[0][j] is the boundary row itself (anchored
+            # launches only — m = 0 pairs are band-feasible only with
+            # n <= unit_k, whose columns land in i0 == 0 launches)
             res_s[...] = jnp.where(
-                m_row == 0, sat((j0 + jrow + 1) * gc + sgc), inf_t
+                (m_row == 0) & (i0 == 0),
+                sat((j0 + jrow + 1) * gc + sgc), inf_t,
             )
 
         cross = cross_s[...]
@@ -648,7 +669,7 @@ def _make_flat_dist_kernel(costs_t, rj: int, ti: int):
 @partial(
     jax.jit,
     static_argnames=("n_jchunks", "n_ichunks", "costs_t", "interpret",
-                     "rj", "ti"),
+                     "rj", "ti", "unit_k"),
 )
 def flat_distance(
     b_rows: jnp.ndarray,  # [C, n_max] uint8 row-major b chars, 0 pads
@@ -662,17 +683,39 @@ def flat_distance(
     interpret: bool = False,
     rj: int = RJ,
     ti: int = TI,
+    unit_k: int | None = None,
 ):
     """Full-matrix distance for a [C] pair batch (C a multiple of 128),
     any cost model, any lengths — the wide-band replacement for the
     lax.scan wavefront.  Exact: the full matrix subsumes every band.
     Row-major uint8 arrivals transpose on device (CLAUDE.md transfer
     invariant).  Returns dist [C] int32 (INF-saturated; callers mask by
-    max_k)."""
+    max_k).
+
+    ``unit_k`` enables BANDED column-strip tiling (VERDICT r4 #6, the
+    analog of the reference's O((m+n)*band) Vec-backed band,
+    jewel.rs:833-1207): each RJ-column launch processes only the TI-row
+    tiles intersecting the |i-j| <= unit_k band (a FIXED count bt, so
+    one Mosaic compile serves every launch), entering with the
+    above-band row as INF and carrying a rolling [bt*TI, C] edge window
+    between launches.  Exact for every pair whose distance <= its
+    (unit_k-derived) threshold — precisely the pairs the caller keeps;
+    the rest saturate above it, as in every band kernel.  Work drops
+    from O(m*n) to O((m+n)*band) cells per pair."""
     RJc, TIc = rj, ti
     C = b_rows.shape[0]
     assert C % LANES == 0
     mP = n_ichunks * TIc
+    if unit_k is None or n_ichunks <= -(-(RJc + 2 * unit_k + TIc) // TIc):
+        bt = n_ichunks
+        t0s = [0] * n_jchunks
+    else:
+        bt = -(-(RJc + 2 * unit_k + TIc) // TIc)
+        t0s = [
+            min(max((cj * RJc - unit_k) // TIc, 0), n_ichunks - bt)
+            for cj in range(n_jchunks)
+        ]
+    btP = bt * TIc
     # device-side transpose into the kernel layouts; -1/-2 sentinels keep
     # a pad from ever matching a b pad
     a_t = jnp.where(
@@ -694,7 +737,7 @@ def flat_distance(
     m2 = m.astype(jnp.int32)[None, :]
 
     kernel = _make_flat_dist_kernel(costs_t, RJc, TIc)
-    grid = (C // LANES, n_ichunks)
+    grid = (C // LANES, bt)
     ti_spec = pl.BlockSpec((TIc, LANES), lambda g, c: (c, g),
                            memory_space=pltpu.VMEM)
     rj_spec = pl.BlockSpec((RJc, LANES), lambda g, c: (0, g),
@@ -703,12 +746,15 @@ def flat_distance(
                             memory_space=pltpu.VMEM)
     inf = int(INF)
 
+    # rolling [btP, C] edge window: rows cover needle rows
+    # [t0*TI + 1, t0*TI + btP] of the current launch (t0s[0] == 0, so the
+    # initial window is the j = 0 boundary column)
     einD = jnp.minimum(
-        (jnp.arange(mP, dtype=jnp.int32)[:, None] + 1) * costs_t[1]
+        (jnp.arange(btP, dtype=jnp.int32)[:, None] + 1) * costs_t[1]
         + costs_t[2], inf,
     ) * jnp.ones((1, C), jnp.int32)
-    einD2 = jnp.full((mP, C), inf, jnp.int32)
-    einNG = jnp.full((mP, C), inf, jnp.int32)
+    einD2 = jnp.full((btP, C), inf, jnp.int32)
+    einNG = jnp.full((btP, C), inf, jnp.int32)
 
     # lane extraction per chunk (D[m][n] sits at row n - 1 of its chunk):
     # gathering incrementally avoids materializing the [n_max, C] matrix
@@ -716,9 +762,29 @@ def flat_distance(
     lanes = jnp.arange(C)
     picked = jnp.full((C,), inf, jnp.int32)
     for cj in range(n_jchunks):
+        t0 = t0s[cj]
+        if cj > 0 and t0 > t0s[cj - 1]:
+            # slide the edge window down the band: rows leaving the top
+            # are never read again; rows entering at the bottom are
+            # below the previous launch's band at its edge column ->
+            # out-of-band -> INF
+            dt = (t0 - t0s[cj - 1]) * TIc
+            pad_rows = jnp.full((dt, C), inf, jnp.int32)
+            einD = jnp.concatenate(
+                [lax.slice(einD, (dt, 0), (btP, C)), pad_rows], axis=0
+            )
+            einD2 = jnp.concatenate(
+                [lax.slice(einD2, (dt, 0), (btP, C)), pad_rows], axis=0
+            )
+            einNG = jnp.concatenate(
+                [lax.slice(einNG, (dt, 0), (btP, C)), pad_rows], axis=0
+            )
         seg_c = lax.slice(seg_lead, (cj * RJc, 0),
                           (cj * RJc + RJc + 8, C))
+        nchar_c = lax.slice(nchar, (t0 * TIc, 0), (t0 * TIc + btP, C))
+        nprev_c = lax.slice(nprev, (t0 * TIc, 0), (t0 * TIc + btP, C))
         j0 = jnp.full((1, C), cj * RJc, jnp.int32)
+        i0 = jnp.full((1, C), t0 * TIc, jnp.int32)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -728,14 +794,15 @@ def flat_distance(
                 ti_spec,  # nchar (per-lane)
                 ti_spec,  # nprev
                 row_spec,  # j0
+                row_spec,  # i0
                 row_spec,  # m
                 ti_spec, ti_spec, ti_spec,
             ],
             out_specs=(ti_spec, ti_spec, ti_spec, rj_spec),
             out_shape=(
-                jax.ShapeDtypeStruct((mP, C), jnp.int32),
-                jax.ShapeDtypeStruct((mP, C), jnp.int32),
-                jax.ShapeDtypeStruct((mP, C), jnp.int32),
+                jax.ShapeDtypeStruct((btP, C), jnp.int32),
+                jax.ShapeDtypeStruct((btP, C), jnp.int32),
+                jax.ShapeDtypeStruct((btP, C), jnp.int32),
                 jax.ShapeDtypeStruct((RJc, C), jnp.int32),
             ),
             scratch_shapes=[
@@ -746,7 +813,7 @@ def flat_distance(
                 pltpu.VMEM((RJc, LANES), jnp.int32),  # res
             ],
             interpret=interpret,
-        )(seg_c, nchar, nprev, j0, m2, einD, einD2, einNG)
+        )(seg_c, nchar_c, nprev_c, j0, i0, m2, einD, einD2, einNG)
         einD, einD2, einNG, d_out = outs
         local = jnp.clip(nz - cj * RJc, 0, RJc - 1)
         hit = (nz >= cj * RJc) & (nz < (cj + 1) * RJc)

@@ -428,8 +428,9 @@ def sharded_flat_distance(
     n_ichunks: int,
     costs_t: Tuple[int, int, int, int, bool],
     interpret: bool = False,
+    unit_k: int | None = None,
 ):
-    """DP over the mesh with the full-matrix flat distance kernel (general
+    """DP over the mesh with the (banded) flat distance kernel (general
     costs past the band kernels' VMEM plans): lane axis device-split,
     `flat_distance` per device (VERDICT r4 #2a).  Layouts are
     prepare_flat_distance_inputs' buffers; pad the batch to
@@ -453,7 +454,7 @@ def sharded_flat_distance(
     def step(b_l, a_l, m_l, n_l):
         return flat_distance(
             b_l, a_l, m_l, n_l, n_jchunks=n_jchunks, n_ichunks=n_ichunks,
-            costs_t=costs_t, interpret=interpret,
+            costs_t=costs_t, interpret=interpret, unit_k=unit_k,
         )
 
     rows_sh = NamedSharding(mesh, rows)
