@@ -26,18 +26,33 @@ same saturating-unsigned trick, realized as a signed dtype with a
 headroom-checked +inf sentinel and an explicit clamp per step (the
 reference instead relies on hardware saturating adds, jewel.rs:2264-2288).
 
-NARROW-DTYPE STATUS ON HARDWARE (re-verified 2026-08-19, round 4 — both
-int8 and int16 variants still fail the same way): the ladder remains
-interpret-only.  Compiling the int16 variant still
-crashes the Mosaic toolchain in this environment — the remote compile
-helper exits with "HTTP 500: tpu_compile_helper subprocess exit code 1"
-on the kernel's sub-int32 `pltpu.roll`/select ops (reproduce with
-TRIPLE_ACCEL_TPU_NARROW_BAND=1 TRIPLE_ACCEL_TPU_FORCE_PATH=pallas_band
-on any TPU batch).  Manual SWAR packing (2 x int16 cells per int32 lane,
-the trick lev_myers.py uses at 20-bit granularity) was evaluated and
-rejected for THIS kernel: the band recurrence is `min`-dominated, and a
-guarded SWAR min costs ~4-5 VPU ops per packed pair versus 2 ops for the
-same pair unpacked — a net loss.  Packing only pays for bitwise-dominated
+NARROW-DTYPE STATUS ON HARDWARE (re-probed 2026-08-20, round 5, this
+time past the first failure layer by layer): the ladder remains
+interpret-only, and the round-5 probes pin exactly why —
+  1. int8 vectors do not exist in this Mosaic target at all ("Only
+     vector<i16> and vector<i32> are supported, but got 'i8'");
+  2. int16 `pltpu.roll` is rejected ("Rotate with non-32-bit data") —
+     WORKAROUNDABLE with an int32 cast-around per roll;
+  3. past that, int32-derived i1 masks cannot select int16 values
+     ("Invalid relayout ... (8,128) -> (16,128)") — workaroundable by
+     comparing in int16; but then
+  4. int16 vector comparisons themselves are rejected ("Target does not
+     support this comparison") — a hard stop: the band recurrence is
+     compare/min-dominated, so an int16-STATE kernel cannot compile on
+     this target generation.
+A narrower variant that keeps all COMPUTE in int32 and only narrows the
+input slabs (chars fit i16; i16 block loads + widening casts DO
+compile) founders on alignment: dynamic sublane slices of i16 refs
+must be provably 8-aligned ("cannot statically prove that index in
+dimension 0 is a multiple of 8"), and the wavefront loads one unaligned
+row/window per DP row — adopting it would need an 8-row-unrolled body
+with aligned superblock loads (a future-toolchain or future-round
+option; pl.multiple_of hints + an UN=8 restructure like lev_myers').
+Manual SWAR packing (2 x int16 cells per int32 lane, the trick
+lev_myers.py uses at 20-bit granularity) was evaluated and rejected for
+THIS kernel: the band recurrence is `min`-dominated, and a guarded SWAR
+min costs ~4-5 VPU ops per packed pair versus 2 ops for the same pair
+unpacked — a net loss.  Packing only pays for bitwise-dominated
 recurrences, which is exactly why the unit-cost path already runs the
 bit-parallel Myers kernel (20 DP cells per lane) instead of this one.
 """
