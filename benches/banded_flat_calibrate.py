@@ -1,0 +1,101 @@
+"""Chip calibration for the banded-flat vs scan time models
+(levenshtein._FLAT_* / _SCAN_* constants, VERDICT r4 #5/#6).
+
+Times the BANDED flat distance kernel at two launch counts (solving the
+per-cell rate and the per-RJ-launch overhead from the pair) and the
+banded lax.scan wavefront on the same batches, warmed and steady-state
+(best block until no improvement).  Run on the real chip:
+
+    PYTHONPATH=.:/root/.axon_site python benches/banded_flat_calibrate.py
+"""
+
+import time
+
+import numpy as np
+
+
+def best_of(fn, *, stale_limit=4, rel=0.995, cap=60.0):
+    best = float("inf")
+    stale = 0
+    t0 = time.perf_counter()
+    while stale < stale_limit and time.perf_counter() - t0 < cap:
+        t1 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t1
+        if dt < best * rel:
+            best, stale = dt, 0
+        else:
+            stale += 1
+    return best
+
+
+def main():
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ta_tpu_jax_cache")
+    import jax
+
+    from triple_accel_tpu.ops.band_scan import (
+        band_scan_distance,
+        prepare_band_inputs,
+    )
+    from triple_accel_tpu.ops.pallas.search_flat import (
+        RJ,
+        TI,
+        flat_distance,
+        prepare_flat_distance_inputs,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    assert on_tpu, "calibration must run on the real chip"
+    rng = np.random.default_rng(7)
+    uk = 2048
+    ct = (2, 1, 2, 0, False)
+    bt_rows = (-(-(RJ + 2 * uk + TI) // TI)) * TI
+
+    for L, B in ((10_000, 128), (20_000, 128), (20_000, 512)):
+        a = [rng.integers(65, 70, L).astype(np.uint8) for _ in range(B)]
+        b = []
+        for x in a:
+            y = x.copy()
+            y[rng.integers(0, L, 40)] = 71
+            b.append(y)
+        b_rows, a_rows, m, n, njc, nic = prepare_flat_distance_inputs(a, b)
+        C = b_rows.shape[0]
+        dev = [jax.device_put(x) for x in (b_rows, a_rows, m, n)]
+
+        def run_flat():
+            np.asarray(flat_distance(
+                dev[0], dev[1], dev[2], dev[3], n_jchunks=njc,
+                n_ichunks=nic, costs_t=ct, unit_k=uk,
+            ))
+
+        run_flat()  # warm/compile
+        t_flat = best_of(run_flat)
+        band_rows = min(nic * TI, bt_rows)
+        cells = C * band_rows * njc * RJ
+
+        a_pad, b_pad, m_arr, n_arr = prepare_band_inputs(a, b, uk,
+                                                         nic * TI)
+        sdev = [jax.device_put(x) for x in (a_pad, b_pad, m_arr, n_arr)]
+
+        def run_scan():
+            d, _ = band_scan_distance(
+                sdev[0], sdev[1], sdev[2], sdev[3], unit_k=uk,
+                max_m=nic * TI, costs_t=ct, trace_on=False,
+            )
+            np.asarray(d)
+
+        run_scan()
+        t_scan = best_of(run_scan, cap=90.0)
+        print(
+            f"L={L} B={B} C={C} njc={njc} band_rows={band_rows} "
+            f"cells={cells:.3e} | flat {t_flat*1e3:.1f} ms "
+            f"({cells/t_flat:.3e} cells/s) | scan {t_scan*1e3:.1f} ms "
+            f"({nic*TI} steps, {t_scan/(nic*TI)*1e6:.1f} us/step)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

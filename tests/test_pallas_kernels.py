@@ -524,22 +524,26 @@ def test_flat_guard_falls_to_scan():
         levenshtein_k_batch,
     )
 
-    # guard math at the extremes (banded-flat model since round 5): a
-    # pathological long-pair batch still exceeds the absolute cells cap
-    # even banded (200K-char pairs at uk=2048 -> 2.8e11 banded cells);
-    # a LARGE wide-lane batch loses on time (the scan's per-step floor
-    # amortizes over 4096 lanes while flat pays every banded cell)...
+    # guard math at the extremes (banded-flat model, re-calibrated on
+    # chip round 5 — benches/banded_flat_calibrate.py): a pathological
+    # long-pair batch still exceeds the absolute cells cap even banded
+    # (200K-char pairs at uk=2048 -> 2.8e11 banded cells); the MEASURED
+    # scan winner (B=128 x 10K chars at uk=2048: scan 266 ms vs flat
+    # 346 ms on chip) must pick scan...
     long_pair = [np.zeros(200_000, np.uint8)] * 2
     assert not _flat_beats_scan(2, long_pair, long_pair, 2048, 262144)
-    big_batch = [np.zeros(4000, np.uint8)] * 4096
-    assert not _flat_beats_scan(4096, big_batch, big_batch, 1024, 4096)
-    # ...while the benched 4000x4000 full-band batch stays on flat (the
-    # shape measured at 123 ms flat vs ~250 ms modeled scan), and a
-    # long-pair modest-band batch now WINS on flat thanks to the banded
+    scan_win = [np.zeros(10_000, np.uint8)] * 128
+    assert not _flat_beats_scan(128, scan_win, scan_win, 2048, 10240)
+    # ...while the benched 4000x4000 full-band batch stays on flat, the
+    # MEASURED flat winner (B=512 x 20K at uk=2048: flat 1.30 s vs scan
+    # 2.00 s on chip — the scan's saturation regime) picks flat, and a
+    # long-pair modest-band batch wins on flat thanks to the banded
     # column-strip tiling (O((m+n)*band) cells, VERDICT r4 #6)
     wide = [np.zeros(4000, np.uint8)] * 256
     assert _flat_beats_scan(256, wide, wide, 4096, 4096)
     assert 256 * 4096 * 4096 < _FLAT_CELLS_CAP
+    flat_win = [np.zeros(20_000, np.uint8)] * 512
+    assert _flat_beats_scan(512, flat_win, flat_win, 2048, 20224)
     banded_win = [np.zeros(100_000, np.uint8)] * 8
     assert _flat_beats_scan(8, banded_win, banded_win, 512, 100352)
 

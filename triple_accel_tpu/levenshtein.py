@@ -90,27 +90,29 @@ _MIN_BUCKET = 256
 _TRACE_CELLS_CAP = 1 << 29
 
 # flat_distance guards (VERDICT r4 weak #5).  Measured on the v5e chip
-# (round 5, steady-state best-of on resident arrays, affine costs):
-#   flat_distance   4.295e9 padded cells in 123 ms, 1.074e9 in 50 ms
-#                   -> t ~ cells/4.4e10 + 25 ms (device transposes +
-#                   launch pipeline)
-#   band scan       one lax.scan step per DP ROW: 22.0/23.4/28.2 us per
-#                   step at B*W = 131K/262K/456K lanes
-#                   -> t ~ max_m * (20 us + B*W/5e10)
-# The two engines live in different regimes: the scan is SEQUENTIAL-
-# STEP-bound (max_m iterations of a cheap [B, W] row update — round 4's
-# "42x" was an e2e artifact of the old prep path, not a per-cell gap),
-# the flat kernel is cells-bound plus a fixed cost.  The guard compares
-# the two time models; the absolute cells cap additionally bounds
-# compile + chip seconds for pathological long-pair batches (a
-# 2e5 x 2e5-char pair batch would otherwise compile a ~1e13-cell
-# program unwarned: ~4 min of chip time vs ~4 s banded).
+# (round 5, steady-state best-of on resident arrays, affine costs;
+# re-calibrated with benches/banded_flat_calibrate.py after the banded
+# column-strip tiling landed):
+#   flat_distance   BANDED: 4.08/4.24/4.32e10 cells/s at 1.4/2.8/5.6e10
+#                   cells (uk=2048) -> t ~ cells/4.4e10 + 25 ms fixed
+#                   + ~2 ms per RJ-column launch
+#   band scan       one lax.scan step per DP ROW, TWO regimes:
+#                   floor-bound 22.0/23.4/28.2/25-26 us per step at
+#                   B*W = 131K..524K lanes, then SATURATING — 98.9 us
+#                   at 2.1M lanes (B=512, W=4097) -> per-step time
+#                   max(20 us + lanes/1e11, lanes/2.4e10)
+# The measured winners at the calibration shapes: B=128 x 10K/20K-char
+# pairs at uk=2048 -> scan (266/498 ms vs flat 346/664); B=512 x 20K
+# -> flat (1.30 s vs scan 2.00 s).  The model picks all three
+# correctly.  The absolute cells cap additionally bounds compile + chip
+# seconds for pathological long-pair batches.
 _FLAT_CELLS_CAP = 1 << 37
 _FLAT_CELLS_PER_SEC = 4.4e10
 _FLAT_FIXED_SEC = 0.025
 _FLAT_CHUNK_SEC = 2.0e-3  # per-RJ-column-launch overhead (banded tiling)
 _SCAN_STEP_SEC = 2.0e-5
-_SCAN_LANES_PER_SEC = 5.0e10
+_SCAN_LANES_PER_SEC = 1.0e11  # floor-regime marginal rate
+_SCAN_LANES_SAT = 2.4e10  # large-B*W saturation rate
 
 
 # ---------------------------------------------------------------------------
@@ -422,8 +424,10 @@ def _flat_beats_scan(B, swapped_a, swapped_b, uk_dev, max_m) -> bool:
     t_flat = (flat_cells / _FLAT_CELLS_PER_SEC + _FLAT_FIXED_SEC
               + n_jchunks * _FLAT_CHUNK_SEC)
     W = 2 * uk_dev + 1
-    t_scan = max_m * (
-        _SCAN_STEP_SEC + max(B, 1) * W / _SCAN_LANES_PER_SEC
+    lanes = max(B, 1) * W
+    t_scan = max_m * max(
+        _SCAN_STEP_SEC + lanes / _SCAN_LANES_PER_SEC,
+        lanes / _SCAN_LANES_SAT,
     )
     return t_flat <= t_scan
 
