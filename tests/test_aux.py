@@ -32,6 +32,26 @@ def test_sweep_equals_monolithic():
         assert got == ref, st
 
 
+def test_sweep_mesh_equals_meshless():
+    """levenshtein_search_sweep(mesh=): every slab runs sharded across
+    the mesh; results must equal the meshless sweep and the oracle."""
+    import jax
+
+    from triple_accel_tpu.parallel import make_mesh
+
+    needle, hay, k = _workload()
+    mesh = make_mesh(jax.devices()[:4])
+    for st in (SearchType.All, SearchType.Best):
+        ref = levenshtein_search_sweep(
+            needle, hay, k, st, LEVENSHTEIN_COSTS, slab_chars=7000
+        )
+        got = levenshtein_search_sweep(
+            needle, hay, k, st, LEVENSHTEIN_COSTS, slab_chars=7000,
+            mesh=mesh,
+        )
+        assert got == ref, st
+
+
 def test_sweep_resume(tmp_path):
     needle, hay, k = _workload()
     ck = str(tmp_path / "sweep.npz")

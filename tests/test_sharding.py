@@ -639,6 +639,26 @@ def test_search_many_sharded_matches_meshless():
         assert got2 == ref2
 
 
+def test_hamming_batch_mesh_param():
+    """hamming_batch(mesh=): batch-axis DP sharding must equal the
+    meshless call exactly, including the non-divisible pad path."""
+    from triple_accel_tpu.hamming import hamming_batch
+
+    rng = np.random.default_rng(61)
+    mesh = make_mesh(jax.devices()[:4])
+    B, L = 70, 33  # B not divisible by 4, L not a multiple of 8
+    a = rng.integers(0, 256, (B, L)).astype(np.uint8)
+    b = a.copy()
+    b[:, 0] = 0
+    lengths = rng.integers(1, L + 1, B).astype(np.int32)
+    got = hamming_batch(a, b, lengths, mesh=mesh)
+    ref = hamming_batch(a, b, lengths)
+    assert got.shape == (B,)
+    assert np.array_equal(got, ref)
+    exp0 = int(np.sum(a[0, :lengths[0]] != b[0, :lengths[0]]))
+    assert int(got[0]) == exp0
+
+
 def test_hamming_search_sharded_matches_single_device():
     """SP Hamming search: fixed-length windows partition start positions
     exactly, so the sharded counts/minima share the single-device layout —

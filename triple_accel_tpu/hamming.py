@@ -89,12 +89,17 @@ def hamming(a: BytesLike, b: BytesLike) -> int:
 
 
 def hamming_batch(
-    a: np.ndarray, b: np.ndarray, lengths: Optional[np.ndarray] = None
+    a: np.ndarray, b: np.ndarray, lengths: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> np.ndarray:
     """Batched Hamming distance: one device dispatch for [B, L] pairs.
 
     `lengths` masks each pair's valid prefix (defaults to the full width).
     This is the TPU-native unit of work (SURVEY.md §7 design stance).
+    `mesh` shards the batch axis across devices (pairs are independent —
+    pure data parallelism, XLA partitions the fused reduction with no
+    communication); the batch pads to a mesh multiple and results are
+    identical to the meshless call.
     """
     from .ops.hamming_ops import hamming_kernel
 
@@ -102,21 +107,37 @@ def hamming_batch(
     b = np.ascontiguousarray(b)
     if a.shape != b.shape:
         raise ValueError("a and b batches must have the same shape")
+    B0 = a.shape[0]
     if lengths is None:
-        lengths = np.full(a.shape[0], a.shape[1], dtype=np.int32)
+        lengths = np.full(B0, a.shape[1], dtype=np.int32)
     L = round_up_pow2(a.shape[1], 8)
     pad = L - a.shape[1]
     if pad:
         a = np.pad(a, ((0, 0), (0, pad)))
         b = np.pad(b, ((0, 0), (0, pad)))
     DispatchDecision(
-        path="xla", cost_bucket="u32", unit_k=0, max_k=0,
-        padded_m=a.shape[0], padded_n=L,
+        path="xla_sharded" if mesh is not None else "xla",
+        cost_bucket="u32", unit_k=0, max_k=0,
+        padded_m=B0, padded_n=L,
     ).log("hamming_batch")
-    out = hamming_kernel(
-        a.astype(np.int32), b.astype(np.int32), lengths.astype(np.int32)
-    )
-    return np.asarray(out)
+    a32 = a.astype(np.int32)
+    b32 = b.astype(np.int32)
+    l32 = np.asarray(lengths, dtype=np.int32)
+    if mesh is not None:
+        import jax
+
+        from .parallel.mesh import batch_sharding
+
+        D = int(mesh.devices.size)
+        bpad = (-B0) % D
+        if bpad:
+            a32 = np.pad(a32, ((0, bpad), (0, 0)))
+            b32 = np.pad(b32, ((0, bpad), (0, 0)))
+            l32 = np.pad(l32, (0, bpad))
+        sh = batch_sharding(mesh)
+        a32, b32, l32 = (jax.device_put(x, sh) for x in (a32, b32, l32))
+    out = hamming_kernel(a32, b32, l32)
+    return np.asarray(out)[:B0]
 
 
 def hamming_search_simd_with_opts(

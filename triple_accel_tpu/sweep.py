@@ -31,14 +31,22 @@ def levenshtein_search_sweep(
     costs: EditCosts = LEVENSHTEIN_COSTS,
     slab_chars: int = 1 << 25,
     checkpoint_path: Optional[str] = None,
+    mesh=None,
 ) -> List[Match]:
     """Search a very long haystack slab by slab, optionally resumable.
 
     Equivalent to `levenshtein_search_simd_with_opts(..., anchored=False)`
     but bounded-memory and restartable: with `checkpoint_path`, a killed
-    sweep resumes from the last completed slab.
+    sweep resumes from the last completed slab.  `mesh` runs every slab
+    SHARDED across the device mesh (`levenshtein_search_sharded`'s
+    ppermute halo ring per slab) — the checkpoint/resume and global
+    streaming semantics are unchanged, so a sweep can even resume on a
+    different mesh size.
     """
-    from .levenshtein import levenshtein_search_simd_with_opts
+    from .levenshtein import (
+        levenshtein_search_sharded,
+        levenshtein_search_simd_with_opts,
+    )
     from .ops.search_scan import window_span
     from .utils.checkpoint import SweepCheckpoint
 
@@ -47,10 +55,14 @@ def levenshtein_search_sweep(
     m, n = len(needle), len(haystack)
     if k is None:
         k = default_search_k(m)
+    def _search(nd, hay, kk, st):
+        if mesh is not None:
+            return levenshtein_search_sharded(nd, hay, kk, mesh, st, costs)
+        return levenshtein_search_simd_with_opts(nd, hay, kk, st, costs,
+                                                 False)
+
     if m == 0 or n <= slab_chars:
-        return levenshtein_search_simd_with_opts(
-            needle, haystack, k, search_type, costs, False
-        )
+        return _search(needle, haystack, k, search_type)
     costs.check_search()
 
     halo = min(window_span(m, k, costs.gap_cost, costs.start_gap_cost), n)
@@ -73,9 +85,7 @@ def levenshtein_search_sweep(
         slab_end = min(offset + slab_chars, n)
         lo = max(0, offset - halo)
         slab = haystack[lo:slab_end]
-        cands = levenshtein_search_simd_with_opts(
-            needle, slab, curr_k, SearchType.All, costs, False
-        )
+        cands = _search(needle, slab, curr_k, SearchType.All)
         new = []
         for c in cands:
             g_end = lo + c.end
