@@ -252,3 +252,81 @@ def test_levenshtein_exp_batch_matches_oracle():
     got = levenshtein_exp_batch(a_list, b_list)
     for i, (a, b) in enumerate(zip(a_list, b_list)):
         assert int(got[i]) == levenshtein_naive(a, b), i
+
+
+@pytest.mark.slowcompile
+def test_rand_levenshtein_batch_mesh_engines():
+    """Randomized mesh-vs-meshless differential over the per-device
+    engine ladder (round 5): unit costs (sharded Myers), rdamerau and
+    affine (sharded band kernel) — forced onto the Pallas engines, every
+    pair also spot-checked against the oracle."""
+    import os
+
+    import jax
+
+    from triple_accel_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(SEED + 7)
+    mesh = make_mesh(jax.devices()[:4])
+    k = 16
+    a_list, b_list = [], []
+    for _ in range(96):
+        ln = int(rng.integers(0, 120))
+        a = rand_str(rng, ln)
+        b = rand_levenshtein_mutate(rng, a, max(1, ln // 8))
+        if rng.integers(0, 2):
+            a, b = b, a
+        a_list.append(a)
+        b_list.append(b)
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS,
+                      EditCosts(2, 1, 2, None)):
+            got = levenshtein_k_batch(a_list, b_list, k, costs, mesh=mesh)
+            ref = levenshtein_k_batch(a_list, b_list, k, costs)
+            assert np.array_equal(got, ref), costs
+            for p in range(0, 96, 11):
+                r = levenshtein_naive_k_with_opts(a_list[p], b_list[p], k,
+                                                  False, costs)
+                assert int(got[p]) == (-1 if r is None else r[0]), (p, costs)
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
+
+
+@pytest.mark.slowcompile
+def test_rand_search_sharded_engines():
+    """Randomized sharded-search differential over the per-device engine
+    ladder (round 5): unit/rdamerau (sharded subgroup Myers) and affine
+    costs (sharded FLAT kernel), both modes, planted mutated needles
+    straddling shard boundaries — vs the oracle and the single-device
+    search."""
+    import os
+
+    import jax
+
+    from triple_accel_tpu.levenshtein import levenshtein_search_sharded
+    from triple_accel_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(SEED + 8)
+    mesh = make_mesh(jax.devices()[:4])
+    m, k, n = 16, 3, 1200
+    needle = rand_str(rng, m)
+    hay = plant_needles(rng, needle, n, 5, k)
+    hay[300 - m // 2: 300 + m - m // 2] = needle  # shard 0/1 straddler
+    os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"] = "pallas"
+    try:
+        for costs in (LEVENSHTEIN_COSTS, RDAMERAU_COSTS,
+                      EditCosts(2, 1, 2, None)):
+            for st in (SearchType.All, SearchType.Best):
+                got = levenshtein_search_sharded(needle, hay, k, mesh, st,
+                                                 costs)
+                ora = levenshtein_search_naive_with_opts(
+                    needle, hay, k, st, costs, False
+                )
+                assert got == ora, (st, costs)
+                dev = levenshtein_search_simd_with_opts(
+                    needle, hay, k, st, costs, False
+                )
+                assert got == dev, (st, costs)
+    finally:
+        del os.environ["TRIPLE_ACCEL_TPU_FORCE_PATH"]
