@@ -687,3 +687,37 @@ def test_hamming_search_sharded_matches_single_device():
         assert got == ref, st
         ora = hamming_search_naive_with_opts(needle, hay, k, st)
         assert got == ora, st
+
+
+@pytest.mark.slowcompile
+def test_search_many_sharded_fallback_routes_sharded():
+    """Dictionary groups outside the shared-pack budget must fall back to
+    the SHARDED single-needle search (not the single-device one) when a
+    mesh is given — pinned by mocking the halo budget to zero and
+    asserting the sharded dispatch path ran, results exact."""
+    import importlib
+    from unittest import mock
+
+    from triple_accel_tpu.dispatch import dispatch_history
+    from triple_accel_tpu.levenshtein import levenshtein_search_many
+
+    sm = importlib.import_module("triple_accel_tpu.ops.pallas.search_myers")
+    rng = np.random.default_rng(71)
+    mesh = make_mesh(jax.devices()[:4])
+    n = 4 * 1024 + 9
+    hay = rng.integers(65, 91, n).astype(np.uint8)
+    needles = [rng.integers(65, 91, 12).astype(np.uint8) for _ in range(2)]
+    hay[1024 - 6: 1024 + 6] = needles[0]  # boundary straddler
+    with mock.patch.object(sm, "myers_halo_budget", lambda mm: 0), \
+         _mesh_forced_pallas():
+        dispatch_history(clear=True)
+        got = levenshtein_search_many(needles, hay, 2, SearchType.All,
+                                      mesh=mesh)
+        paths = [d.path for _, d in dispatch_history()]
+    assert any("_sharded" in p for p in paths), paths
+    assert "myers_search_many_sharded" not in paths, paths
+    for i in range(2):
+        ora = levenshtein_search_naive_with_opts(
+            needles[i], hay, 2, SearchType.All, LEVENSHTEIN_COSTS, False
+        )
+        assert got[i] == ora, i
